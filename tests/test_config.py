@@ -1,0 +1,113 @@
+from fast_lio_sam_qn_tpu.utils.config import (
+    PipelineConfig,
+    load_lio_yaml,
+    load_reference_yaml,
+)
+
+# A dict mirroring the reference's config/config.yaml values
+REFERENCE_YAML = {
+    "basic": {"map_frame": "map", "loop_update_hz": 2.0, "vis_hz": 1.0},
+    "keyframe": {
+        "keyframe_threshold": 1.5,
+        "num_submap_keyframes": 10,  # typo'd key upstream -> ignored
+        "enable_submap_matching": False,
+    },
+    "loop": {
+        "loop_detection_radius": 35.0,
+        "loop_detection_timediff_threshold": 30.0,
+    },
+    "quatro_nano_gicp_voxel_resolution": 0.3,
+    "save_voxel_resolution": 0.3,
+    "nano_gicp": {
+        "thread_number": 0,
+        "icp_score_threshold": 1.5,
+        "correspondences_number": 15,
+        "max_iter": 32,
+        "transformation_epsilon": 0.01,
+        "euclidean_fitness_epsilon": 0.01,
+        "ransac": {"max_iter": 5, "outlier_rejection_threshold": 1.0},
+    },
+    "quatro": {
+        "enable": True,
+        "optimize_matching": True,
+        "distance_threshold": 35.0,
+        "max_correspondences": 500,  # typo'd key upstream -> ignored
+        "fpfh_normal_radius": 0.9,
+        "fpfh_radius": 1.5,
+        "estimating_scale": False,
+        "noise_bound": 0.3,
+        "rotation": {
+            "num_max_iter": 50,  # typo'd key upstream -> ignored
+            "gnc_factor": 1.4,
+            "rot_cost_diff_threshold": 0.0001,
+        },
+    },
+    "result": {
+        "save_map_pcd": True,
+        "save_map_bag": True,
+        "save_in_kitti_format": True,
+        "seq_name": "sequence",
+    },
+}
+
+
+def test_effective_values_replicate_typod_keys():
+    """The reference reads /keyframe/nusubmap_keyframes etc.
+    (fast_lio_sam_qn.cpp:19,38,45) so YAML values fall back to code
+    defaults 5 / 200 / 50."""
+    cfg = load_reference_yaml(REFERENCE_YAML)
+    assert cfg.loop.num_submap_keyframes == 5  # NOT 10
+    assert cfg.loop.quatro.max_num_corres == 200  # NOT 500
+    assert cfg.loop.quatro.rot_max_iter == 50
+
+
+def test_effective_values_normal_keys():
+    cfg = load_reference_yaml(REFERENCE_YAML)
+    assert cfg.loop_update_hz == 2.0
+    assert cfg.keyframe_threshold == 1.5
+    assert cfg.loop.loop_detection_radius == 35.0
+    assert cfg.loop.gicp.icp_score_thr == 1.5
+    assert cfg.loop.gicp.max_corr_dist == 35.0 * 1.5  # derived, cpp:24
+    assert cfg.loop.enable_quatro is True
+    assert cfg.loop.quatro.fpfh_normal_radius == 0.9
+    assert cfg.save_map_pcd and cfg.save_map_bag and cfg.save_in_kitti_format
+
+
+def test_code_defaults_on_empty_yaml():
+    cfg = load_reference_yaml({})
+    # pure code defaults (fast_lio_sam_qn.cpp:12-50)
+    assert cfg.loop_update_hz == 1.0
+    assert cfg.vis_hz == 0.5
+    assert cfg.keyframe_threshold == 1.0
+    assert cfg.loop.loop_detection_radius == 15.0
+    assert cfg.loop.gicp.icp_score_thr == 10.0
+    assert cfg.loop.gicp.max_corr_dist == 15.0 * 1.5
+    assert cfg.loop.enable_quatro is False
+
+
+def test_lio_yaml_kitti_mapping():
+    kitti = {
+        "preprocess": {"lidar_type": 2, "scan_line": 64, "blind": 2},
+        "mapping": {
+            "acc_cov": 0.1,
+            "gyr_cov": 0.1,
+            "det_range": 100.0,
+            "extrinsic_T": [0.81, -0.32, 0.8],
+            "extrinsic_R": [1, 0, 0, 0, 1, 0, 0, 0, 1],
+        },
+    }
+    lio = load_lio_yaml(kitti)
+    assert lio.lidar_type == "velodyne"
+    assert lio.scan_line == 64
+    assert lio.extrinsic_T == (0.81, -0.32, 0.8)
+    assert lio.det_range == 100.0
+
+
+def test_native_defaults_match_effective_reference():
+    """The plain PipelineConfig defaults equal the as-run reference config."""
+    cfg = PipelineConfig()
+    ref = load_reference_yaml(REFERENCE_YAML)
+    assert cfg.keyframe_threshold == ref.keyframe_threshold
+    assert cfg.loop.num_submap_keyframes == ref.loop.num_submap_keyframes
+    assert cfg.loop.quatro.max_num_corres == ref.loop.quatro.max_num_corres
+    assert cfg.loop.gicp.max_corr_dist == ref.loop.gicp.max_corr_dist
