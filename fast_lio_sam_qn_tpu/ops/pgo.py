@@ -1,0 +1,278 @@
+"""SE(3) pose-graph optimizer — the GTSAM iSAM2 replacement.
+
+The reference feeds three factor types into gtsam::ISAM2
+(fast_lio_sam_qn.cpp:112-118,132-143,226-233):
+
+- one PriorFactor<Pose3> on node 0, variances diag(1e-4 x3 rad^2, 1e-2 x3 m^2)
+- an odometry BetweenFactor per keyframe with the same variances
+- loop BetweenFactors with isotropic variance = the ICP fitness score
+
+and re-optimizes incrementally each keyframe (isam.update x2, x5 after a
+loop, :156-165).
+
+TPU-native equivalent: fixed-capacity masked factor arrays and a fully
+batched Gauss-Newton solver, re-linearized each outer iteration, with a
+matrix-free preconditioned-conjugate-gradient linear solve (the Hessian is
+never materialized: H@x is two 6-vector gathers, a batched 6x6 block apply
+and a scatter-add per factor — O(#factors) work that XLA vectorizes cleanly;
+block-Jacobi 6x6 preconditioner).  Warm-started from the previous estimate
+this converges to the same optimum as iSAM2's incremental relinearization
+(documented behavioral equivalence, not algorithm translation).
+
+Residual convention (GTSAM BetweenFactor): r = Log(meas^-1 (T_i^-1 T_j)),
+tangent ordered (rotation, translation) to match the reference noise vectors.
+Right perturbation T <- T exp(xi) (GTSAM local coordinates).  Jacobians use
+the standard adjoint forms with the first-order inverse-right-Jacobian
+correction.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import se3
+
+
+class GraphState(NamedTuple):
+    """Fixed-capacity pose graph (a pytree). Node i corresponds to keyframe i.
+
+    odom_meas[i] is the BetweenFactor measurement from node i-1 to node i
+    (valid for 1 <= i < num_nodes); loops are (i -> j) between factors.
+    """
+
+    poses: jax.Array       # (N, 4, 4) current estimates
+    num_nodes: jax.Array   # () int32
+    prior_pose: jax.Array  # (4, 4) prior on node 0
+    odom_meas: jax.Array   # (N, 4, 4)
+    loop_i: jax.Array      # (L,) int32
+    loop_j: jax.Array      # (L,) int32
+    loop_meas: jax.Array   # (L, 4, 4)
+    loop_var: jax.Array    # (L,) f32 isotropic variance (= ICP score)
+    num_loops: jax.Array   # () int32
+
+    @property
+    def capacity(self):
+        return self.poses.shape[0]
+
+
+def empty_graph(max_nodes: int, max_loops: int, dtype=jnp.float32) -> GraphState:
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (max_nodes, 4, 4))
+    return GraphState(
+        poses=eye,
+        num_nodes=jnp.int32(0),
+        prior_pose=jnp.eye(4, dtype=dtype),
+        odom_meas=eye,
+        loop_i=jnp.zeros((max_loops,), jnp.int32),
+        loop_j=jnp.zeros((max_loops,), jnp.int32),
+        loop_meas=jnp.broadcast_to(jnp.eye(4, dtype=dtype), (max_loops, 4, 4)),
+        loop_var=jnp.ones((max_loops,), dtype),
+        num_loops=jnp.int32(0),
+    )
+
+
+@jax.jit
+def add_first_node(graph: GraphState, pose: jax.Array) -> GraphState:
+    """Prior factor + initial estimate (fast_lio_sam_qn.cpp:112-118)."""
+    return graph._replace(
+        poses=graph.poses.at[0].set(pose),
+        prior_pose=pose,
+        num_nodes=jnp.int32(1),
+    )
+
+
+@jax.jit
+def add_odom_node(graph: GraphState, pose_from: jax.Array, pose_to: jax.Array) -> GraphState:
+    """Append node with BetweenFactor(prev, cur, from.between(to))
+    (fast_lio_sam_qn.cpp:132-143). pose_to is also the initial estimate."""
+    i = graph.num_nodes
+    meas = se3.pose_between(pose_from, pose_to)
+    return graph._replace(
+        poses=graph.poses.at[i].set(pose_to),
+        odom_meas=graph.odom_meas.at[i].set(meas),
+        num_nodes=i + 1,
+    )
+
+
+@jax.jit
+def add_loop_factor(
+    graph: GraphState, i: jax.Array, j: jax.Array, meas: jax.Array, score: jax.Array
+) -> GraphState:
+    """Loop BetweenFactor(i, j) with isotropic variance = score
+    (fast_lio_sam_qn.cpp:226-233)."""
+    l = graph.num_loops
+    return graph._replace(
+        loop_i=graph.loop_i.at[l].set(i.astype(jnp.int32)),
+        loop_j=graph.loop_j.at[l].set(j.astype(jnp.int32)),
+        loop_meas=graph.loop_meas.at[l].set(meas),
+        loop_var=graph.loop_var.at[l].set(score),
+        num_loops=l + 1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Residuals / Jacobians
+# ---------------------------------------------------------------------------
+
+def _adjoint(T: jax.Array) -> jax.Array:
+    """SE(3) adjoint for tangent ordering (w, v): (...,4,4) -> (...,6,6)."""
+    R, t = se3.split_pose(T)
+    Z = jnp.zeros_like(R)
+    top = jnp.concatenate([R, Z], axis=-1)
+    bot = jnp.concatenate([jnp.matmul(se3.hat(t), R, precision="highest"), R],
+                          axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _ad(xi: jax.Array) -> jax.Array:
+    """se(3) little adjoint: (...,6) -> (...,6,6)."""
+    w, v = xi[..., :3], xi[..., 3:]
+    W, V = se3.hat(w), se3.hat(v)
+    Z = jnp.zeros_like(W)
+    top = jnp.concatenate([W, Z], axis=-1)
+    bot = jnp.concatenate([V, W], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _between_residual(Ti, Tj, meas):
+    """r = Log(meas^-1 Ti^-1 Tj) and Jacobians wrt right perturbations of
+    Ti, Tj: Ji = -Jr_inv(r) Ad(Tj^-1 Ti), Jj = Jr_inv(r)."""
+    rel = se3.pose_between(Ti, Tj)
+    r = se3.se3_log(se3.compose(se3.pose_inverse(meas), rel))
+    jr_inv = jnp.broadcast_to(
+        jnp.eye(6, dtype=r.dtype), r.shape[:-1] + (6, 6)
+    ) + 0.5 * _ad(r)
+    Jj = jr_inv
+    Ji = -jnp.matmul(jr_inv, _adjoint(se3.pose_inverse(rel)), precision="highest")
+    return r, Ji, Jj
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free Gauss-Newton + PCG
+# ---------------------------------------------------------------------------
+
+def _factor_data(graph: GraphState, prior_var: jax.Array, odom_var: jax.Array):
+    """Linearize all factors. Returns per-factor (i, j, r, Ji, Jj, w6, valid)
+    arrays with a unified layout: prior (1) + odom (N-1) + loops (L).
+    The prior is expressed as a between factor from a fixed virtual node
+    (index -1 mapped to scatter-dump) to node 0."""
+    n_cap = graph.capacity
+    node_idx = jnp.arange(n_cap, dtype=jnp.int32)
+
+    # odom between factors: (i-1 -> i) for 1 <= i < num_nodes
+    Ti = graph.poses[jnp.maximum(node_idx - 1, 0)]
+    Tj = graph.poses
+    r_o, Ji_o, Jj_o = _between_residual(Ti, Tj, graph.odom_meas)
+    valid_o = (node_idx >= 1) & (node_idx < graph.num_nodes)
+    w_o = jnp.broadcast_to(1.0 / odom_var, (n_cap, 6))
+
+    # loop between factors
+    li = jnp.clip(graph.loop_i, 0, n_cap - 1)
+    lj = jnp.clip(graph.loop_j, 0, n_cap - 1)
+    r_l, Ji_l, Jj_l = _between_residual(
+        graph.poses[li], graph.poses[lj], graph.loop_meas
+    )
+    l_cap = graph.loop_i.shape[0]
+    valid_l = jnp.arange(l_cap) < graph.num_loops
+    w_l = 1.0 / jnp.maximum(graph.loop_var, 1e-8)[:, None].repeat(6, axis=1)
+
+    # prior on node 0: r = Log(prior^-1 T_0), J0 = Jr_inv(r)
+    r_p = se3.se3_log(se3.compose(se3.pose_inverse(graph.prior_pose),
+                                  graph.poses[0]))
+    Jp = jnp.eye(6, dtype=r_p.dtype) + 0.5 * _ad(r_p)
+    w_p = 1.0 / prior_var
+
+    idx_i = jnp.concatenate([jnp.maximum(node_idx - 1, 0), li, jnp.zeros(1, jnp.int32)])
+    idx_j = jnp.concatenate([node_idx, lj, jnp.zeros(1, jnp.int32)])
+    r = jnp.concatenate([r_o, r_l, r_p[None]], axis=0)
+    Ji = jnp.concatenate([Ji_o, Ji_l, jnp.zeros((1, 6, 6), r.dtype)], axis=0)
+    Jj = jnp.concatenate([Jj_o, Jj_l, Jp[None]], axis=0)
+    w6 = jnp.concatenate([w_o, w_l, w_p[None]], axis=0)
+    valid = jnp.concatenate([valid_o, valid_l, jnp.ones(1, bool)])
+    return idx_i, idx_j, r, Ji, Jj, w6, valid
+
+
+def _hx(idx_i, idx_j, Ji, Jj, w6, valid, x, n_cap):
+    """H @ x without materializing H. x: (N, 6)."""
+    xi = x[idx_i]
+    xj = x[idx_j]
+    u = jnp.einsum("fab,fb->fa", Ji, xi, precision="highest") + jnp.einsum(
+        "fab,fb->fa", Jj, xj, precision="highest"
+    )
+    wu = u * w6 * valid[:, None]
+    out = jnp.zeros((n_cap, 6), x.dtype)
+    out = out.at[idx_i].add(jnp.einsum("fba,fb->fa", Ji, wu, precision="highest"))
+    out = out.at[idx_j].add(jnp.einsum("fba,fb->fa", Jj, wu, precision="highest"))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("gn_iters", "pcg_iters"))
+def optimize(
+    graph: GraphState,
+    prior_var: jax.Array,
+    odom_var: jax.Array,
+    gn_iters: int = 3,
+    pcg_iters: int = 64,
+) -> GraphState:
+    """Batch Gauss-Newton over all factors (relinearized every iteration).
+
+    prior_var / odom_var: (6,) variance vectors, reference values
+    diag(1e-4 x3, 1e-2 x3) (fast_lio_sam_qn.cpp:112,132).
+    """
+    n_cap = graph.capacity
+    active = (jnp.arange(n_cap) < graph.num_nodes)[:, None]
+
+    def gn_step(_, g: GraphState) -> GraphState:
+        idx_i, idx_j, r, Ji, Jj, w6, valid = _factor_data(g, prior_var, odom_var)
+        # gradient b = sum J^T W r ; solve H dx = -b
+        wr = r * w6 * valid[:, None]
+        b = jnp.zeros((n_cap, 6), r.dtype)
+        b = b.at[idx_i].add(jnp.einsum("fba,fb->fa", Ji, wr, precision="highest"))
+        b = b.at[idx_j].add(jnp.einsum("fba,fb->fa", Jj, wr, precision="highest"))
+
+        # block-Jacobi preconditioner: accumulate per-node 6x6 diagonal blocks
+        WJi = Ji * (w6 * valid[:, None])[:, :, None]
+        WJj = Jj * (w6 * valid[:, None])[:, :, None]
+        Bi = jnp.einsum("fba,fbc->fac", Ji, WJi, precision="highest")
+        Bj = jnp.einsum("fba,fbc->fac", Jj, WJj, precision="highest")
+        P = jnp.zeros((n_cap, 6, 6), r.dtype)
+        P = P.at[idx_i].add(Bi).at[idx_j].add(Bj)
+        P = P + 1e-6 * jnp.eye(6, dtype=r.dtype)
+        Pinv = jnp.linalg.inv(P)
+
+        def precond(v):
+            return jnp.einsum("nab,nb->na", Pinv, v, precision="highest") * active
+
+        def hx(v):
+            return _hx(idx_i, idx_j, Ji, Jj, w6, valid, v, n_cap) * active
+
+        # PCG for H dx = -b
+        x0 = jnp.zeros((n_cap, 6), r.dtype)
+        r0 = -b * active
+        z0 = precond(r0)
+        p0 = z0
+        rz0 = jnp.sum(r0 * z0)
+
+        def pcg_body(_, carry):
+            x, rr, z, p, rz = carry
+            hp = hx(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * hp), 1e-20)
+            x = x + alpha * p
+            rr = rr - alpha * hp
+            z = precond(rr)
+            rz_new = jnp.sum(rr * z)
+            beta = rz_new / jnp.maximum(rz, 1e-20)
+            p = z + beta * p
+            return (x, rr, z, p, rz_new)
+
+        x, *_ = jax.lax.fori_loop(
+            0, pcg_iters, pcg_body, (x0, r0, z0, p0, rz0)
+        )
+        # apply right-perturbation update to active nodes
+        dT = se3.se3_exp(x)
+        new_poses = jnp.where(active[..., None], se3.compose(g.poses, dT), g.poses)
+        return g._replace(poses=new_poses)
+
+    return jax.lax.fori_loop(0, gn_iters, gn_step, graph)
