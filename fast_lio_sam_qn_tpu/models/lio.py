@@ -1,0 +1,208 @@
+"""LiDAR-inertial odometry front end — the FAST-LIO2 node replacement.
+
+The reference launches ``fastlio_mapping`` as a separate ROS node
+(third_party/fastlio_config_launch/kitti.launch:13) and consumes its
+``/Odometry`` + ``/cloud_registered`` topics (fast_lio_sam_qn.cpp:75-76).
+Here the front end is a device-resident filter object: `LIO.process_scan`
+is one jitted program (propagate -> deskew -> iterated update -> map
+insert) and returns exactly what the reference's PGO node consumes — the
+scan-end pose and the deskewed scan — plus it keeps the deskewed cloud in
+the BODY frame directly, skipping the reference's world-frame publish +
+pose.inverse() un-transform round trip (pose_pcd.hpp:39-40).
+
+Static shapes: scan points and per-scan IMU samples are padded to configured
+capacities; preprocessing (blind-range cull, point_filter_num decimation,
+filter_size_surf voxel downsample — kitti.yaml:13 / kitti.launch:7,9) is part
+of the jitted program.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import hashgrid, ieskf, se3, voxel
+from ..utils.config import LioConfig
+
+
+class LioState(NamedTuple):
+    """Complete device-resident filter state (a pytree)."""
+
+    nav: ieskf.NavState
+    P: jax.Array
+    grid: hashgrid.HashGrid
+    t: jax.Array              # filter time (scan end), float32 seconds
+    num_scans: jax.Array      # int32
+    num_matches: jax.Array    # int32: plane matches in last update
+
+
+class ScanResult(NamedTuple):
+    pose: jax.Array           # (4,4) world<-body at scan end
+    cloud_body: jax.Array     # (N,3) deskewed scan, body frame
+    cloud_mask: jax.Array     # (N,)
+    num_matches: jax.Array
+
+
+class LIO:
+    """Host-side handle owning config + the jitted per-scan step."""
+
+    def __init__(self, cfg: Optional[LioConfig] = None, imu_cap: int = 64):
+        self.cfg = cfg or LioConfig()
+        self.imu_cap = imu_cap
+        c = self.cfg
+        self._R_li = jnp.asarray(
+            np.array(c.extrinsic_R, np.float32).reshape(3, 3))
+        self._t_li = jnp.asarray(np.array(c.extrinsic_T, np.float32))
+        self._noise = jnp.array(
+            [c.gyr_cov, c.acc_cov, c.b_gyr_cov, c.b_acc_cov], jnp.float32)
+
+    # ------------------------------------------------------------------
+    def init_state(self, gravity_dir=None, gyro_bias=None, t0=0.0) -> LioState:
+        """Fresh filter state. gravity_dir: mean accelerometer direction over
+        an initial standstill (FAST-LIO-style init [external]); None assumes
+        +z up."""
+        nav = ieskf.identity_state()
+        if gravity_dir is not None:
+            g = -9.81 * jnp.asarray(gravity_dir) / jnp.linalg.norm(
+                jnp.asarray(gravity_dir))
+            nav = nav._replace(grav=g.astype(jnp.float32))
+        if gyro_bias is not None:
+            nav = nav._replace(bg=jnp.asarray(gyro_bias, jnp.float32))
+        grid = hashgrid.empty(
+            res=self.cfg.filter_size_map, table_size=self.cfg.map_table_size)
+        return LioState(
+            nav=nav,
+            P=ieskf.init_covariance(),
+            grid=grid,
+            t=jnp.float32(t0),
+            num_scans=jnp.int32(0),
+            num_matches=jnp.int32(0),
+        )
+
+    @staticmethod
+    def init_from_imu(gyro: np.ndarray, acc: np.ndarray):
+        """Standstill init: returns (gravity_dir, gyro_bias) from raw samples."""
+        return np.mean(acc, axis=0), np.mean(gyro, axis=0)
+
+    # ------------------------------------------------------------------
+    def preprocess(self, pts: jax.Array, rel_t: jax.Array, mask: jax.Array):
+        """blind cull + decimation + surf downsample, fixed output capacity."""
+        return _preprocess(
+            pts, rel_t, mask,
+            blind=self.cfg.blind,
+            filter_num=self.cfg.point_filter_num,
+            surf_res=self.cfg.filter_size_surf,
+            out_cap=self.cfg.max_points_per_scan,
+        )
+
+    def process_scan(
+        self,
+        state: LioState,
+        pts_l: jax.Array,    # (N,3) raw lidar-frame points (padded)
+        rel_t: jax.Array,    # (N,) per-point time offsets from scan start
+        mask: jax.Array,     # (N,)
+        imu_t: jax.Array,    # (K,) absolute sample times in (t_prev, t_end]
+        gyro: jax.Array,     # (K,3)
+        acc: jax.Array,      # (K,3)
+        imu_mask: jax.Array,  # (K,)
+        t_start,
+        t_end,
+    ) -> tuple[LioState, ScanResult]:
+        return _process_scan(
+            state, pts_l, rel_t, mask, imu_t, gyro, acc, imu_mask,
+            jnp.float32(t_start), jnp.float32(t_end),
+            self._R_li, self._t_li, self._noise,
+            blind=self.cfg.blind,
+            filter_num=self.cfg.point_filter_num,
+            surf_res=self.cfg.filter_size_surf,
+            out_cap=self.cfg.max_points_per_scan,
+            max_iter=self.cfg.max_iteration,
+            plane_k=self.cfg.plane_k,
+            plane_threshold=self.cfg.plane_threshold,
+            det_range=self.cfg.det_range,
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("blind", "filter_num", "surf_res", "out_cap"))
+def _preprocess(pts, rel_t, mask, *, blind, filter_num, surf_res, out_cap):
+    n = pts.shape[0]
+    r2 = jnp.sum(pts * pts, axis=-1)
+    keep = mask & (r2 > blind * blind)
+    if filter_num > 1:
+        keep = keep & (jnp.arange(n) % filter_num == 0)
+    # voxel downsample keeps centroids; per-point times need a representative
+    # -> reuse the sort machinery but take the first point per voxel instead
+    # of the centroid so its timestamp stays meaningful for deskew.
+    out_pts, out_t, out_mask = _first_per_voxel(pts, rel_t, keep, surf_res, out_cap)
+    return out_pts, out_t, out_mask
+
+
+@functools.partial(jax.jit, static_argnames=("res", "out_cap"))
+def _first_per_voxel(pts, rel_t, mask, res, out_cap):
+    """One representative (first-in-index) point per voxel, keeping its
+    timestamp — the deskew-compatible analogue of voxel downsampling."""
+    coords = voxel.voxel_coords(pts, res)
+    h = voxel.spatial_hash(coords)
+    key = jnp.where(mask, h, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(key, stable=True)
+    pts_s, t_s, coords_s, key_s, mask_s = (
+        pts[order], rel_t[order], coords[order], key[order], mask[order])
+    prev_key = jnp.concatenate([key_s[:1] - 1, key_s[:-1]])
+    prev_coords = jnp.concatenate([coords_s[:1] + 1, coords_s[:-1]])
+    is_head = ((key_s != prev_key) | jnp.any(coords_s != prev_coords, -1)) & mask_s
+    compact = jnp.argsort(jnp.logical_not(is_head), stable=True)
+    return (
+        pts_s[compact][:out_cap],
+        t_s[compact][:out_cap],
+        is_head[compact][:out_cap],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "blind", "filter_num", "surf_res", "out_cap", "max_iter", "plane_k",
+    "plane_threshold", "det_range"))
+def _process_scan(
+    state: LioState, pts_l, rel_t, mask, imu_t, gyro, acc, imu_mask,
+    t_start, t_end, R_li, t_li, noise, *,
+    blind, filter_num, surf_res, out_cap, max_iter, plane_k,
+    plane_threshold, det_range,
+):
+    pts_p, t_p, m_p = _preprocess(
+        pts_l, rel_t, mask, blind=blind, filter_num=filter_num,
+        surf_res=surf_res, out_cap=out_cap)
+
+    nav1, P1, log = ieskf.propagate(
+        state.nav, state.P, imu_t, gyro, acc, imu_mask, t_start, t_end, noise)
+    body = ieskf.deskew(pts_p, t_p, m_p, log, nav1, t_start, R_li, t_li)
+
+    is_first = state.num_scans == 0
+
+    def do_update(_):
+        nav2, P2, matches = ieskf.update(
+            nav1, P1, state.grid, body, m_p,
+            meas_var=jnp.float32(0.0025),
+            plane_threshold=jnp.float32(plane_threshold),
+            max_iter=max_iter, plane_k=plane_k, window=3,
+        )
+        return nav2, P2, matches
+
+    def skip_update(_):
+        return nav1, P1, jnp.int32(0)
+
+    nav2, P2, matches = jax.lax.cond(is_first, skip_update, do_update, None)
+
+    # map insert with the updated pose; evict far voxels to bound occupancy
+    pts_w = body @ nav2.R.T + nav2.p
+    grid = hashgrid.evict_beyond(state.grid, nav2.p, jnp.float32(det_range * 1.5))
+    grid = hashgrid.insert(grid, pts_w, m_p)
+
+    pose = se3.make_pose(nav2.R, nav2.p)
+    new_state = LioState(
+        nav=nav2, P=P2, grid=grid, t=t_end,
+        num_scans=state.num_scans + 1, num_matches=matches,
+    )
+    return new_state, ScanResult(pose, body, m_p, matches)

@@ -167,6 +167,19 @@ def build(points: jax.Array, mask: jax.Array, res: float, table_size: int) -> Ha
     return insert(empty(res, table_size, points.dtype), points, mask)
 
 
+@jax.jit
+def evict_beyond(grid: HashGrid, center: jax.Array, radius: jax.Array) -> HashGrid:
+    """Drop voxels farther than `radius` from `center` — the moving-window
+    map maintenance replacing FAST-LIO's cube_side_length box pruning
+    [external]; keeps table occupancy bounded on long trajectories."""
+    d2 = jnp.sum((grid.points - center[None, :]) ** 2, axis=-1)
+    keep = grid.occupied & (d2 <= radius * radius)
+    return grid._replace(
+        occupied=keep,
+        src_idx=jnp.where(keep, grid.src_idx, -1),
+    )
+
+
 def _window_offsets(window: int) -> jax.Array:
     """(window^3, 3) int32 offsets, e.g. 27 for window=3."""
     r = jnp.arange(window, dtype=jnp.int32) - window // 2

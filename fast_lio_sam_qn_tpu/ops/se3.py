@@ -188,6 +188,11 @@ def pose_inverse(T: jax.Array) -> jax.Array:
     return make_pose(Rt, -(_mm(Rt, t[..., None]))[..., 0])
 
 
+def compose3(Ra: jax.Array, Rb: jax.Array) -> jax.Array:
+    """Full-precision 3x3 rotation composition (see compose)."""
+    return _mm(Ra, Rb)
+
+
 def compose(Ta: jax.Array, Tb: jax.Array) -> jax.Array:
     """Full-precision pose composition Ta @ Tb.
 

@@ -191,7 +191,7 @@ def simulate_scan(
         denom = dirs_w @ nrm
         with np.errstate(divide="ignore", invalid="ignore"):
             t_hit = ((o - origins) @ nrm) / denom
-        rel = origins + t_hit[:, None] * dirs_w - o
+            rel = origins + t_hit[:, None] * dirs_w - o
         a = (rel @ u) / (u @ u)
         b = (rel @ v) / (v @ v)
         ok = (
@@ -204,6 +204,60 @@ def simulate_scan(
     hit = np.isfinite(best_t)
     rng2 = np.random.default_rng(seed + 1)
     ranges = best_t + rng2.normal(0, noise, n_points)
+    pts_l = dirs_l * ranges[:, None]
+    pts_l[~hit] = np.nan
+    return pts_l.astype(np.float32), rel_t.astype(np.float32)
+
+
+def simulate_scan_swept(
+    world: World,
+    traj: "Trajectory",
+    t0: float,
+    n_points: int = 4096,
+    max_range: float = 60.0,
+    min_range: float = 0.5,
+    noise: float = 0.01,
+    seed: int = 0,
+    scan_period: float = 0.1,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Like simulate_scan but the sensor MOVES during the sweep: each ray is
+    cast from traj.pose(t0 + rel_t).  Points are returned in the LIDAR FRAME
+    AT EACH POINT'S OWN TIME (what a real spinning LiDAR outputs) — i.e. the
+    skewed cloud a deskew stage must correct."""
+    rng = np.random.default_rng(seed)
+    az = np.linspace(0, 2 * np.pi, n_points, endpoint=False)
+    el = rng.uniform(-0.35, 0.15, n_points)
+    rel_t = az / (2 * np.pi) * scan_period
+    dirs_l = np.stack(
+        [np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)], axis=-1
+    )
+    # chunk rays by time for efficiency (pose changes slowly)
+    n_chunks = 32
+    best_t = np.full(n_points, np.inf)
+    dirs_w = np.zeros_like(dirs_l)
+    origins = np.zeros_like(dirs_l)
+    for ci in range(n_chunks):
+        sl = slice(ci * n_points // n_chunks, (ci + 1) * n_points // n_chunks)
+        t_mid = t0 + float(np.mean(rel_t[sl]))
+        T = traj.pose(t_mid)
+        origins[sl] = T[:3, 3]
+        dirs_w[sl] = dirs_l[sl] @ T[:3, :3].T
+    for (o, u, v) in world.surfaces:
+        nrm = np.cross(u, v)
+        denom = dirs_w @ nrm
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t_hit = ((o[None] - origins) @ nrm) / denom
+            rel = origins + t_hit[:, None] * dirs_w - o
+        a = (rel @ u) / (u @ u)
+        b = (rel @ v) / (v @ v)
+        ok = (
+            (np.abs(denom) > 1e-9)
+            & (t_hit > min_range) & (t_hit < max_range)
+            & (a >= 0) & (a <= 1) & (b >= 0) & (b <= 1)
+        )
+        best_t = np.where(ok & (t_hit < best_t), t_hit, best_t)
+    hit = np.isfinite(best_t)
+    ranges = best_t + np.random.default_rng(seed + 1).normal(0, noise, n_points)
     pts_l = dirs_l * ranges[:, None]
     pts_l[~hit] = np.nan
     return pts_l.astype(np.float32), rel_t.astype(np.float32)
