@@ -157,6 +157,26 @@ class Trajectory:
 # Sensors
 # ---------------------------------------------------------------------------
 
+
+N_RINGS = 32
+
+
+def _ring_pattern(n_points: int, scan_period: float):
+    """Fixed multi-ring spinning-LiDAR pattern (like a real sensor: all
+    rings fire together at each azimuth step; time advances with azimuth).
+    Returns (az, el, rel_t) each (n_points,). A fixed pattern (rather than
+    random elevations) matters: two scans of the same scene must sample
+    surfaces consistently for feature matching to behave realistically."""
+    n_az = max(n_points // N_RINGS, 1)
+    az_steps = np.linspace(0, 2 * np.pi, n_az, endpoint=False)
+    el_rings = np.linspace(-0.35, 0.15, N_RINGS)
+    AZ, EL = np.meshgrid(az_steps, el_rings, indexing="ij")  # (n_az, rings)
+    az = AZ.ravel()[:n_points]
+    el = EL.ravel()[:n_points]
+    rel_t = az / (2 * np.pi) * scan_period
+    return az, el, rel_t
+
+
 def simulate_scan(
     world: World,
     T_wl: np.ndarray,
@@ -173,10 +193,7 @@ def simulate_scan(
     timestamps returned for deskew tests).  Returns (points_lidar (N,3) f32
     with NaN rows for no-hit, rel_time (N,) f32 in [0, scan_period)).
     """
-    rng = np.random.default_rng(seed)
-    az = np.linspace(0, 2 * np.pi, n_points, endpoint=False)
-    el = rng.uniform(-0.35, 0.15, n_points)  # ~ -20..+8.6 deg spread
-    rel_t = az / (2 * np.pi) * scan_period
+    az, el, rel_t = _ring_pattern(n_points, scan_period)
     dirs_l = np.stack(
         [np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)], axis=-1
     )
@@ -224,10 +241,7 @@ def simulate_scan_swept(
     cast from traj.pose(t0 + rel_t).  Points are returned in the LIDAR FRAME
     AT EACH POINT'S OWN TIME (what a real spinning LiDAR outputs) — i.e. the
     skewed cloud a deskew stage must correct."""
-    rng = np.random.default_rng(seed)
-    az = np.linspace(0, 2 * np.pi, n_points, endpoint=False)
-    el = rng.uniform(-0.35, 0.15, n_points)
-    rel_t = az / (2 * np.pi) * scan_period
+    az, el, rel_t = _ring_pattern(n_points, scan_period)
     dirs_l = np.stack(
         [np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)], axis=-1
     )

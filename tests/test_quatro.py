@@ -1,0 +1,140 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_lio_sam_qn_tpu.ops import fpfh, gicp, quatro, se3, voxel
+from fast_lio_sam_qn_tpu.utils import sim
+
+WORLD = sim.World.room(size=24.0, height=5.0, n_boxes=10, seed=5)
+
+
+def _pose(xy, yaw):
+    T = np.eye(4)
+    T[:3, :3] = np.asarray(se3.so3_exp(jnp.array([0.0, 0.0, yaw])))
+    T[:3, 3] = [xy[0], xy[1], 1.5]
+    return T
+
+
+def _loop_pair(drift_xi, seed=1):
+    """Two scans of the same scene from nearby poses; the src scan is placed
+    in the world with a DRIFTED pose (exactly the loop-closure situation:
+    clouds are transformed by corrected keyframe poses, loop_closure.cpp:89-92,
+    and registration must recover the residual drift)."""
+    T1 = _pose((2.0, -1.5), 0.0)
+    T2 = _pose((4.0, -3.0), 0.5)
+    s1, _ = sim.simulate_scan(WORLD, T1, n_points=16384, noise=0.01, seed=seed)
+    s2, _ = sim.simulate_scan(WORLD, T2, n_points=16384, noise=0.01,
+                              seed=seed + 1)
+    drift = np.asarray(se3.se3_exp(jnp.asarray(drift_xi, dtype=jnp.float32)))
+    w1 = s1 @ T1[:3, :3].T + T1[:3, 3]
+    w1d = w1 @ drift[:3, :3].T + drift[:3, 3]
+    w2 = s2 @ T2[:3, :3].T + T2[:3, 3]
+    p1, m1 = sim.pad_cloud(w1d, 16384)
+    p2, m2 = sim.pad_cloud(w2, 16384)
+    va, vma = voxel.voxel_downsample(jnp.asarray(p1), jnp.asarray(m1), 0.3,
+                                     out_cap=8192)
+    vb, vmb = voxel.voxel_downsample(jnp.asarray(p2), jnp.asarray(m2), 0.3,
+                                     out_cap=8192)
+    vp1 = jnp.asarray((drift[:3, :3] @ T1[:3, 3] + drift[:3, 3]).astype(
+        np.float32))
+    vp2 = jnp.asarray(T2[:3, 3].astype(np.float32))
+    return (va, vma, vp1), (vb, vmb, vp2), np.linalg.inv(drift)
+
+
+def _run_quatro(src, dst):
+    (va, vma, vp1), (vb, vmb, vp2) = src, dst
+    da, fa = fpfh.fpfh(va, vma, jnp.float32(0.9), jnp.float32(1.5),
+                       viewpoint=vp1)
+    db, fb = fpfh.fpfh(vb, vmb, jnp.float32(0.9), jnp.float32(1.5),
+                       viewpoint=vp2)
+    fa = fpfh.distinctive(da, fa)
+    fb = fpfh.distinctive(db, fb)
+    return quatro.align(
+        va, da, fa, vb, db, fb,
+        noise_bound=jnp.float32(0.3), gnc_factor=jnp.float32(1.4),
+        cost_diff_thr=jnp.float32(1e-4), distance_threshold=jnp.float32(35.0),
+        max_corres=200, rot_max_iter=50)
+
+
+def _check(res, T_want, yaw_tol=0.03, t_tol=0.25):
+    assert bool(res.converged), (int(res.num_corres), int(res.num_inliers))
+    T = np.asarray(res.transform)
+    yaw_est = np.arctan2(T[1, 0], T[0, 0])
+    yaw_want = np.arctan2(T_want[1, 0], T_want[0, 0])
+    assert abs(yaw_est - yaw_want) < yaw_tol, (yaw_est, yaw_want)
+    assert np.linalg.norm(T[:3, 3] - T_want[:3, 3]) < t_tol, (
+        T[:3, 3], T_want[:3, 3])
+
+
+def test_fpfh_descriptor_invariance():
+    """FPFH must be (approximately) invariant under rigid transforms."""
+    a = WORLD.sample_points(2048, seed=3, noise=0.0)
+    pa, ma = sim.pad_cloud(a, 2048)
+    va, vma = voxel.voxel_downsample(jnp.asarray(pa), jnp.asarray(ma), 0.3,
+                                     out_cap=2048)
+    T = se3.se3_exp(jnp.array([0.0, 0.0, 0.8, 5.0, 2.0, 0.0]))
+    vb = se3.transform_points(va, T)
+    vp = jnp.zeros(3)
+    da, fa = fpfh.fpfh(va, vma, jnp.float32(0.9), jnp.float32(1.5),
+                       viewpoint=vp)
+    db, fb = fpfh.fpfh(vb, vma, jnp.float32(0.9), jnp.float32(1.5),
+                       viewpoint=se3.transform_points(vp[None], T)[0])
+    both = np.asarray(fa) & np.asarray(fb)
+    d = np.abs(np.asarray(da) - np.asarray(db))[both]
+    assert d.mean() < 1.0, d.mean()
+
+
+def test_distinctive_filters_planes():
+    a = WORLD.sample_points(2048, seed=4, noise=0.005)
+    pa, ma = sim.pad_cloud(a, 2048)
+    va, vma = voxel.voxel_downsample(jnp.asarray(pa), jnp.asarray(ma), 0.3,
+                                     out_cap=2048)
+    da, fa = fpfh.fpfh(va, vma, jnp.float32(0.9), jnp.float32(1.5),
+                       viewpoint=jnp.array([0.0, 0.0, 1.5]))
+    keep = fpfh.distinctive(da, fa)
+    # filters a substantial fraction (flat walls/floor) but keeps features
+    frac = float(jnp.sum(keep)) / max(float(jnp.sum(fa)), 1.0)
+    assert 0.05 < frac < 0.9, frac
+
+
+def test_quatro_recovers_drift():
+    src, dst, T_want = _loop_pair([0.0, 0.0, 0.15, 1.5, -1.0, 0.1], seed=1)
+    res = _run_quatro(src, dst)
+    _check(res, T_want)
+
+
+def test_quatro_zero_drift():
+    src, dst, T_want = _loop_pair([0.0] * 6, seed=3)
+    res = _run_quatro(src, dst)
+    _check(res, T_want)
+
+
+def test_quatro_large_yaw_drift():
+    src, dst, T_want = _loop_pair([0.0, 0.0, 0.6, 3.0, 2.0, 0.0], seed=5)
+    res = _run_quatro(src, dst)
+    _check(res, T_want, yaw_tol=0.05, t_tol=0.4)
+
+
+def test_quatro_then_gicp_fine():
+    """The reference's coarseToFineAlignment composition
+    (loop_closure.cpp:138-159): quatro coarse -> transform src -> gicp fine,
+    final = fine @ coarse."""
+    src, dst, T_want = _loop_pair([0.0, 0.0, 0.2, 2.0, -1.5, 0.1], seed=7)
+    (va, vma, _), (vb, vmb, _) = src, dst
+    res = _run_quatro(src, dst)
+    assert bool(res.converged)
+    coarse = res.transform
+    src_c = se3.transform_points(va, coarse)
+    fine = gicp.align(src_c, vma, vb, vmb, cov_backend="brute")
+    final = np.asarray(fine.transform) @ np.asarray(coarse)
+    err = np.asarray(se3.se3_log(se3.pose_between(
+        jnp.asarray(final), jnp.asarray(T_want, dtype=jnp.float32))))
+    assert np.linalg.norm(err[:3]) < 0.02, err
+    assert np.linalg.norm(err[3:]) < 0.15, err
+    # fitness = mean sq NN dist over ALL src points (PCL getFitnessScore
+    # semantics): the 2.1 m viewpoint offset here leaves ~partial overlap,
+    # whose shadowed regions inflate the score. Pipeline loop closures
+    # happen at revisits (high overlap) where the 1.5 gate is meaningful;
+    # here we only bound it loosely.
+    assert float(fine.fitness) < 3.5
