@@ -1,0 +1,75 @@
+"""Device-resident keyframe store — the PosePcd vector replacement.
+
+The reference keeps ``std::vector<PosePcd>`` (pose_pcd.hpp:7-43) guarded by
+keyframes_mutex_ and grows it unboundedly.  Here keyframes live in fixed-
+capacity device arrays (SURVEY §5 long-context note: padded ring with a
+count + masked reductions), single-writer by construction — the mutex
+quartet disappears.
+
+Clouds are stored in the BODY (LiDAR) frame like the reference (which
+un-transforms FAST-LIO's world-frame output, pose_pcd.hpp:39-40), already
+voxelized at the matching resolution; raw clouds for byte-accurate export
+stay in the host archive (utils/io.py).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class KeyframeStore(NamedTuple):
+    clouds: jax.Array        # (K, P, 3) body-frame, voxelized
+    cloud_masks: jax.Array   # (K, P)
+    poses: jax.Array         # (K, 4, 4) raw odometry poses
+    poses_corrected: jax.Array  # (K, 4, 4) PGO-corrected poses
+    timestamps: jax.Array    # (K,)
+    count: jax.Array         # () int32
+
+    @property
+    def capacity(self) -> int:
+        return self.clouds.shape[0]
+
+    @property
+    def points_per_frame(self) -> int:
+        return self.clouds.shape[1]
+
+
+def empty_store(max_keyframes: int, points_per_frame: int,
+                dtype=jnp.float32) -> KeyframeStore:
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (max_keyframes, 4, 4))
+    return KeyframeStore(
+        clouds=jnp.zeros((max_keyframes, points_per_frame, 3), dtype),
+        cloud_masks=jnp.zeros((max_keyframes, points_per_frame), bool),
+        poses=eye,
+        poses_corrected=eye,
+        timestamps=jnp.zeros((max_keyframes,), dtype),
+        count=jnp.int32(0),
+    )
+
+
+@jax.jit
+def append(store: KeyframeStore, cloud, cloud_mask, pose, pose_corrected,
+           timestamp) -> KeyframeStore:
+    i = store.count
+    return KeyframeStore(
+        clouds=store.clouds.at[i].set(cloud),
+        cloud_masks=store.cloud_masks.at[i].set(cloud_mask),
+        poses=store.poses.at[i].set(pose),
+        poses_corrected=store.poses_corrected.at[i].set(pose_corrected),
+        timestamps=store.timestamps.at[i].set(timestamp),
+        count=i + 1,
+    )
+
+
+@jax.jit
+def rewrite_corrected(store: KeyframeStore, poses: jax.Array) -> KeyframeStore:
+    """Bulk-overwrite corrected poses from the PGO estimate — the reference's
+    O(N) keyframe rewrite after a loop (fast_lio_sam_qn.cpp:180-188), here a
+    single masked copy."""
+    active = (jnp.arange(store.capacity) < store.count)[:, None, None]
+    return store._replace(
+        poses_corrected=jnp.where(active, poses[: store.capacity],
+                                  store.poses_corrected)
+    )

@@ -1,0 +1,200 @@
+"""Loop-closure module — candidate search + two-stage registration.
+
+Behavioral mirror of the reference's ``LoopClosure`` class
+(include/loop_closure.h:72-110, src/loop_closure.cpp), rebuilt as jitted
+fixed-shape programs over the device keyframe store:
+
+- ``fetch_closest_keyframe_idx``: the O(N) linear scan becomes one masked
+  argmin over all keyframe positions; same gates (within
+  loop_detection_radius, older than loop_detection_timediff_threshold,
+  search cap radius*3, last keyframe excluded — loop_closure.cpp:34-56).
+- ``set_src_and_dst_cloud``: same four modes (loop_closure.cpp:58-108) —
+  submap accumulation over +-num_submap_keyframes, scan/scan when Quatro is
+  on, scan-to-submap otherwise ("empirically works better", :96-97); both
+  voxelized at voxel_res.
+- ``icp_alignment``: GICP + accept iff converged AND fitness <
+  icp_score_threshold (:110-136).
+- ``coarse_to_fine_alignment``: Quatro coarse -> transform src -> GICP fine,
+  final = fine @ coarse (:138-159).
+- ``perform_loop_closure``: dispatch on enable_quatro (:168-205).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import fpfh, gicp, quatro, se3, voxel
+from ..utils.config import LoopClosureConfig
+from .keyframes import KeyframeStore
+
+
+class RegistrationOutput(NamedTuple):
+    """Mirror of the reference RegistrationOutput (loop_closure.h:62-68)."""
+
+    pose_between: jax.Array  # (4,4) world-frame correction src -> dst
+    score: jax.Array         # GICP fitness
+    is_valid: jax.Array      # bool
+    is_converged: jax.Array  # bool
+    closest_idx: jax.Array   # int32 (-1 if none)
+
+
+@jax.jit
+def fetch_closest_keyframe_idx(
+    store: KeyframeStore,
+    query_pose: jax.Array,
+    query_time: jax.Array,
+    radius: jax.Array,
+    timediff: jax.Array,
+) -> jax.Array:
+    """Masked argmin over keyframes (reference loop_closure.cpp:34-56).
+    Note the reference iterates idx < size-1, excluding the query itself
+    (the latest keyframe)."""
+    k = store.capacity
+    idx = jnp.arange(k)
+    active = idx < (store.count - 1)
+    d = jnp.linalg.norm(
+        store.poses_corrected[:, :3, 3] - query_pose[:3, 3][None], axis=-1)
+    old_enough = (query_time - store.timestamps) > timediff
+    ok = active & old_enough & (d < radius)
+    d_gated = jnp.where(ok, d, radius * 3.0)
+    best = jnp.argmin(d_gated)
+    return jnp.where(ok[best], best.astype(jnp.int32), jnp.int32(-1))
+
+
+def _accumulate_submap(store: KeyframeStore, center_idx, submap_range: int,
+                       out_cap: int, voxel_res: float):
+    """Gather +-submap_range keyframes around center, transform to world by
+    corrected poses, voxelize to a fixed cap (loop_closure.cpp:70-106).
+    Bounds mirror the reference: 0 <= i < count-1."""
+    offs = jnp.arange(-submap_range, submap_range + 1)
+    idxs = center_idx + offs
+    ok = (idxs >= 0) & (idxs < store.count - 1)
+    idxs_c = jnp.clip(idxs, 0, store.capacity - 1)
+    clouds = store.clouds[idxs_c]            # (W, P, 3)
+    masks = store.cloud_masks[idxs_c] & ok[:, None]
+    poses = store.poses_corrected[idxs_c]    # (W, 4, 4)
+    world = se3.transform_points(clouds, poses)  # (W, P, 3)
+    w, p, _ = world.shape
+    return voxel.voxel_downsample(
+        world.reshape(w * p, 3), masks.reshape(w * p), voxel_res,
+        out_cap=out_cap)
+
+
+def _single_frame(store: KeyframeStore, idx, out_cap: int, voxel_res: float):
+    cloud = store.clouds[idx]
+    mask = store.cloud_masks[idx]
+    world = se3.transform_points(cloud, store.poses_corrected[idx])
+    return voxel.voxel_downsample(world, mask, voxel_res, out_cap=out_cap)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "submap_range", "src_cap", "dst_cap", "voxel_res", "enable_quatro",
+    "enable_submap_matching"))
+def set_src_and_dst_cloud(
+    store: KeyframeStore, src_idx, dst_idx, *,
+    submap_range: int, src_cap: int, dst_cap: int, voxel_res: float,
+    enable_quatro: bool, enable_submap_matching: bool,
+):
+    """The reference's four src/dst construction modes
+    (loop_closure.cpp:58-108). NOTE: in the reference, the query (latest)
+    keyframe is index count-1, which the submap bound i < size-1 excludes
+    from accumulation — src submap therefore reaches only backwards;
+    reproduced here via the same bound."""
+    if enable_submap_matching:
+        src = _accumulate_submap(store, src_idx, submap_range, src_cap,
+                                 voxel_res)
+        dst = _accumulate_submap(store, dst_idx, submap_range, dst_cap,
+                                 voxel_res)
+    else:
+        # the query scan itself (the reference indexes keyframes[src_idx]
+        # directly in scan mode, bypassing the i < size-1 bound)
+        src = _single_frame(store, src_idx, src_cap, voxel_res)
+        if enable_quatro:
+            dst = _single_frame(store, dst_idx, dst_cap, voxel_res)
+        else:
+            dst = _accumulate_submap(store, dst_idx, submap_range, dst_cap,
+                                     voxel_res)
+    return src, dst
+
+
+class LoopClosure:
+    """Host-side handle owning config + jitted registration programs."""
+
+    def __init__(self, cfg: LoopClosureConfig, src_cap=8192, dst_cap=16384):
+        self.cfg = cfg
+        self.src_cap = src_cap
+        self.dst_cap = dst_cap
+
+    def fetch_closest_keyframe_idx(self, store, query_pose, query_time):
+        return fetch_closest_keyframe_idx(
+            store, query_pose, query_time,
+            jnp.float32(self.cfg.loop_detection_radius),
+            jnp.float32(self.cfg.loop_detection_timediff_threshold))
+
+    def icp_alignment(self, src, src_mask, dst, dst_mask, init_T=None):
+        gc = self.cfg.gicp
+        res = gicp.align(
+            src, src_mask, dst, dst_mask, init_T=init_T,
+            k=gc.correspondences_number, max_iter=gc.max_iter,
+            max_corr_dist=gc.max_corr_dist,
+            trans_eps=gc.transformation_epsilon,
+            cov_backend="brute", voxel_res=self.cfg.voxel_res)
+        valid = res.converged & (res.fitness < gc.icp_score_thr)
+        return res, valid
+
+    def coarse_to_fine_alignment(self, src, src_mask, dst, dst_mask,
+                                 src_vp, dst_vp):
+        """Quatro coarse -> GICP fine (loop_closure.cpp:138-159)."""
+        qc = self.cfg.quatro
+        ds, fs = fpfh.fpfh(src, src_mask,
+                           jnp.float32(qc.fpfh_normal_radius),
+                           jnp.float32(qc.fpfh_radius), viewpoint=src_vp)
+        dd, fd = fpfh.fpfh(dst, dst_mask,
+                           jnp.float32(qc.fpfh_normal_radius),
+                           jnp.float32(qc.fpfh_radius), viewpoint=dst_vp)
+        fs = fpfh.distinctive(ds, fs)
+        fd = fpfh.distinctive(dd, fd)
+        q = quatro.align(
+            src, ds, fs, dst, dd, fd,
+            noise_bound=jnp.float32(qc.noise_bound),
+            gnc_factor=jnp.float32(qc.rot_gnc_factor),
+            cost_diff_thr=jnp.float32(qc.rot_cost_diff_thr),
+            distance_threshold=jnp.float32(qc.distance_threshold),
+            max_corres=qc.max_num_corres, rot_max_iter=qc.rot_max_iter)
+        # fine stage always computed (fixed-shape program); gated by q.converged
+        src_c = se3.transform_points(src, q.transform)
+        fine, fine_valid = self.icp_alignment(src_c, src_mask, dst, dst_mask)
+        final_T = se3.compose(fine.transform, q.transform)
+        valid = q.converged & fine_valid
+        return final_T, fine.fitness, valid, q
+
+    def perform_loop_closure(self, store: KeyframeStore, query_idx,
+                             closest_idx) -> RegistrationOutput:
+        """Dispatch mirroring loop_closure.cpp:168-205."""
+        c = self.cfg
+        no_candidate = closest_idx < 0
+        safe_idx = jnp.maximum(closest_idx, 0)
+        (src, src_mask), (dst, dst_mask) = set_src_and_dst_cloud(
+            store, query_idx, safe_idx,
+            submap_range=c.num_submap_keyframes,
+            src_cap=self.src_cap, dst_cap=self.dst_cap,
+            voxel_res=c.voxel_res, enable_quatro=c.enable_quatro,
+            enable_submap_matching=c.enable_submap_matching)
+        if c.enable_quatro:
+            src_vp = store.poses_corrected[query_idx][:3, 3]
+            dst_vp = store.poses_corrected[safe_idx][:3, 3]
+            T, score, valid, q = self.coarse_to_fine_alignment(
+                src, src_mask, dst, dst_mask, src_vp, dst_vp)
+            converged = q.converged
+        else:
+            res, valid = self.icp_alignment(src, src_mask, dst, dst_mask)
+            T, score, converged = res.transform, res.fitness, res.converged
+        valid = valid & ~no_candidate
+        return RegistrationOutput(
+            pose_between=T, score=score, is_valid=valid,
+            is_converged=converged,
+            closest_idx=jnp.where(no_candidate, -1, closest_idx).astype(
+                jnp.int32))

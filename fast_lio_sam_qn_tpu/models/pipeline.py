@@ -1,0 +1,224 @@
+"""PGO pipeline orchestrator — the FastLioSamQn node replacement.
+
+Behavioral mirror of the reference node (src/fast_lio_sam_qn.cpp), with the
+4-thread AsyncSpinner + mutex quartet (main.cpp:10, fast_lio_sam_qn.h:61-62)
+replaced by a deterministic single-writer event loop:
+
+- ``feed``: the odomPcdCallback path (:86-201) — realtime pose composition
+  from the odometry delta (:95-102), Euclidean keyframe gate (:498-501),
+  odometry BetweenFactor + incremental optimization (:132-167), corrected
+  pose/delta reset (:172-178), O(N) corrected-pose rewrite after loops
+  (:180-188).
+- the loop timer (:203-252) becomes a deterministic scheduler: ticks at
+  1/loop_update_hz in DATA time; each tick inspects only the latest
+  keyframe and marks it processed — reproducing the reference's documented
+  lossy async semantics (keyframes between ticks are never loop-checked;
+  README.md:23) without the race on keyframes_.back() (:205, unguarded).
+- the vis timer's products are exposed as pull-style getters
+  (get_trajectories, get_global_map) instead of rviz topics.
+
+The pipeline consumes (pose, body cloud, timestamp) triples — exactly what
+the reference consumes from FAST-LIO over ROS — either from our LIO front
+end (models/lio.py) or from any external odometry source (parity mode).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import pgo, se3, voxel
+from ..utils.config import PipelineConfig
+from . import keyframes as kf
+from .loop_closure import LoopClosure
+
+
+@dataclass
+class LoopEvent:
+    """Record of one loop-closure attempt (observability/export)."""
+
+    tick_time: float
+    query_idx: int
+    closest_idx: int
+    score: float
+    accepted: bool
+
+
+class FastLioSamQnPipeline:
+    def __init__(self, cfg: Optional[PipelineConfig] = None):
+        self.cfg = cfg or PipelineConfig()
+        c = self.cfg
+        self.loop_closure = LoopClosure(
+            c.loop, src_cap=c.caps.src_points, dst_cap=c.caps.dst_points)
+        self.store = kf.empty_store(c.caps.max_keyframes,
+                                    c.caps.keyframe_points)
+        self.graph = pgo.empty_graph(c.caps.max_keyframes,
+                                     c.caps.max_loop_factors)
+        self._prior_var = jnp.asarray(c.prior_variances, jnp.float32)
+        self._odom_var = jnp.asarray(c.odom_variances, jnp.float32)
+
+        self.initialized = False
+        self.last_odom_pose = jnp.eye(4)
+        self.odom_delta = jnp.eye(4)
+        self.last_corrected_pose = jnp.eye(4)
+        self.last_kf_corrected = jnp.eye(4)
+        self.current_kf_idx = 0
+        self.loop_added_flag = False
+        self.latest_kf_processed = True
+        self._next_loop_tick: Optional[float] = None
+
+        # observability (host-side)
+        self.realtime_poses: List[np.ndarray] = []  # /pose_stamped stream
+        self.odom_poses: List[np.ndarray] = []      # raw odometry at KFs
+        self.loop_events: List[LoopEvent] = []
+        self.loop_idx_pairs: List[Tuple[int, int]] = []
+        self.kf_timestamps: List[float] = []
+
+    # ------------------------------------------------------------------
+    def feed(self, pose, cloud_body, cloud_mask, timestamp: float):
+        """One odom+cloud pair (the odomPcdCallback equivalent).
+
+        pose: (4,4) odometry pose (world<-body); cloud_body: (P,3) padded
+        body-frame points with mask. Returns the realtime corrected pose.
+        """
+        pose = jnp.asarray(pose, jnp.float32)
+        if self._next_loop_tick is None:
+            self._next_loop_tick = timestamp  # timer armed at first data
+
+        # 0. fire loop-timer ticks due BEFORE this frame's data time — the
+        # deterministic replay of the async timer (:203): a tick at t sees
+        # only keyframes that existed strictly before t.
+        period = 1.0 / self.cfg.loop_update_hz
+        while self._next_loop_tick < timestamp:
+            self._loop_tick(self._next_loop_tick)
+            self._next_loop_tick += period
+
+        # 1. realtime pose = last corrected * accumulated delta (:95-102).
+        # Composed unconditionally like the reference (last_odom starts at
+        # identity; the init branch does not reset the delta — it is reset
+        # at the first keyframe optimization, :172-178).
+        self.odom_delta = se3.compose(
+            self.odom_delta,
+            se3.compose(se3.pose_inverse(self.last_odom_pose), pose))
+        corrected_current = se3.compose(self.last_corrected_pose,
+                                        self.odom_delta)
+        self.last_odom_pose = pose
+        self.realtime_poses.append(np.asarray(corrected_current))
+
+        if not self.initialized:
+            self._add_keyframe(pose, pose, cloud_body,
+                               cloud_mask, timestamp, first=True)
+            self.initialized = True
+        else:
+            # 2. keyframe gate on corrected poses (:498-501)
+            dist = float(se3.pose_distance(corrected_current,
+                                           self.last_kf_corrected))
+            if dist > self.cfg.keyframe_threshold:
+                self._add_keyframe(pose, corrected_current, cloud_body,
+                                   cloud_mask, timestamp, first=False)
+                self._optimize_and_refresh()
+
+        return corrected_current
+
+    # ------------------------------------------------------------------
+    def _add_keyframe(self, pose, corrected, cloud, mask, timestamp, first):
+        c = self.cfg
+        # store the body cloud voxelized at matching resolution (the
+        # reference stores raw and voxelizes inside setSrcAndDstCloud; the
+        # matching path re-voxelizes after world transform either way)
+        vc, vm = voxel.voxel_downsample(
+            jnp.asarray(cloud), jnp.asarray(mask), c.loop.voxel_res,
+            out_cap=c.caps.keyframe_points)
+        self.store = kf.append(self.store, vc, vm, pose, corrected,
+                               jnp.float32(timestamp))
+        self.odom_poses.append(np.asarray(pose))
+        self.kf_timestamps.append(float(timestamp))
+        if first:
+            self.graph = pgo.add_first_node(self.graph, pose)  # :112-118
+        else:
+            self.graph = pgo.add_odom_node(
+                self.graph, self.last_kf_corrected, corrected)  # :132-143
+        self.last_kf_corrected = corrected
+        self.current_kf_idx += 1
+        self.latest_kf_processed = False
+
+    def _optimize_and_refresh(self):
+        # reference: isam.update x2, x5 when a loop was added (:156-165)
+        gn = 5 if self.loop_added_flag else 2
+        self.graph = pgo.optimize(self.graph, self._prior_var,
+                                  self._odom_var, gn_iters=gn, pcg_iters=64)
+        n = self.current_kf_idx
+        last = self.graph.poses[n - 1]
+        self.last_corrected_pose = last
+        self.odom_delta = jnp.eye(4)
+        if self.loop_added_flag:
+            # O(N) corrected rewrite (:180-188); the keyframe gate then
+            # compares against the rewritten latest pose. Without loops the
+            # stored (as-inserted) value is kept, like the reference.
+            self.store = kf.rewrite_corrected(self.store, self.graph.poses)
+            self.last_kf_corrected = last
+            self.loop_added_flag = False
+
+    def _loop_tick(self, tick_time: float):
+        """One loop-timer firing (:203-252)."""
+        if not self.initialized or self.current_kf_idx == 0:
+            return
+        if self.latest_kf_processed:
+            return
+        self.latest_kf_processed = True
+        query_idx = self.current_kf_idx - 1
+
+        closest = self.loop_closure.fetch_closest_keyframe_idx(
+            self.store, self.store.poses_corrected[query_idx],
+            self.store.timestamps[query_idx])
+        closest_i = int(closest)
+        if closest_i < 0:
+            return
+        reg = self.loop_closure.perform_loop_closure(
+            self.store, jnp.int32(query_idx), closest)
+        accepted = bool(reg.is_valid)
+        self.loop_events.append(LoopEvent(
+            tick_time, query_idx, closest_i, float(reg.score), accepted))
+        if accepted:
+            # loop BetweenFactor with the reference's composition order
+            # (:224-233): pose_from = reg.pose_between * query.corrected
+            pose_from = se3.compose(
+                reg.pose_between, self.store.poses_corrected[query_idx])
+            pose_to = self.store.poses_corrected[closest_i]
+            meas = se3.pose_between(pose_from, pose_to)
+            self.graph = pgo.add_loop_factor(
+                self.graph, jnp.int32(query_idx), closest,
+                meas, reg.score)
+            self.loop_idx_pairs.append((query_idx, closest_i))
+            self.loop_added_flag = True
+
+    # ------------------------------------------------------------------
+    # vis-timer equivalents (pull-style)
+    def get_trajectories(self):
+        """(odom_poses (N,4,4), corrected_poses (N,4,4)) as numpy."""
+        n = self.current_kf_idx
+        return (np.stack(self.odom_poses) if n else np.zeros((0, 4, 4)),
+                np.asarray(self.graph.poses[:n]))
+
+    def get_corrected_keyframe_poses(self):
+        n = self.current_kf_idx
+        return np.asarray(self.store.poses_corrected[:n])
+
+    def get_global_map(self, voxel_res: Optional[float] = None):
+        """Accumulate all keyframe clouds at corrected poses and voxelize
+        (the corrected_map publisher path, :303-321)."""
+        res = voxel_res or self.cfg.save_voxel_resolution
+        n = self.current_kf_idx
+        if n == 0:
+            return np.zeros((0, 3), np.float32)
+        world = se3.transform_points(
+            self.store.clouds[:n], self.store.poses_corrected[:n])
+        masks = self.store.cloud_masks[:n]
+        flat = world.reshape(-1, 3)
+        fmask = masks.reshape(-1)
+        cap = min(flat.shape[0], 1 << 21)
+        pts, m = voxel.voxel_downsample(flat, fmask, res, out_cap=cap)
+        return np.asarray(pts)[np.asarray(m)]

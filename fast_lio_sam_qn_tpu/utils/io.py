@@ -1,0 +1,191 @@
+"""Dataset IO and result persistence.
+
+Mirrors the reference's save surface (saveFlagCallback + destructor,
+src/fast_lio_sam_qn.cpp:327-450):
+
+- per-keyframe body-frame scans as ``scans/%06d.pcd`` (ASCII, XYZI),
+- ``poses_kitti.txt``: corrected pose 3x4 row-major per line (:359-362),
+- ``poses_tum.txt``: header + "timestamp x y z qx qy qz qw" at fixed 8
+  decimals (:346,365-372),
+- accumulated corrected map voxelized and saved as ``<seq>_map.pcd``
+  (:398-412),
+- a keyframe archive (``result_keyframes.npz``) standing in for the
+  reference's ``result.bag`` (/keyframe_pcd + /keyframe_pose at keyframe
+  timestamps, :380-396) — same content, consumed by the localization
+  sibling; an actual rosbag writer is not meaningful without ROS message
+  serialization on the TPU host.
+
+Plus readers: PCD (ASCII + binary), KITTI velodyne ``.bin``, KITTI/TUM pose
+files (for the evaluation harness).
+"""
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Optional
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# PCD
+# ---------------------------------------------------------------------------
+
+def save_pcd(path: str, points: np.ndarray, intensity: Optional[np.ndarray] = None):
+    """ASCII PCD with XYZI layout (pcl::io::savePCDFileASCII<PointXYZI>)."""
+    points = np.asarray(points, np.float32)
+    n = len(points)
+    inten = (np.zeros(n, np.float32) if intensity is None
+             else np.asarray(intensity, np.float32))
+    with open(path, "w") as f:
+        f.write("# .PCD v0.7 - Point Cloud Data file format\n")
+        f.write("VERSION 0.7\n")
+        f.write("FIELDS x y z intensity\n")
+        f.write("SIZE 4 4 4 4\n")
+        f.write("TYPE F F F F\n")
+        f.write("COUNT 1 1 1 1\n")
+        f.write(f"WIDTH {n}\n")
+        f.write("HEIGHT 1\n")
+        f.write("VIEWPOINT 0 0 0 1 0 0 0\n")
+        f.write(f"POINTS {n}\n")
+        f.write("DATA ascii\n")
+        for p, i in zip(points, inten):
+            f.write(f"{p[0]:.9g} {p[1]:.9g} {p[2]:.9g} {i:.9g}\n")
+
+
+def load_pcd(path: str) -> np.ndarray:
+    """Reads ASCII or binary PCD; returns (N, 3) xyz float32."""
+    with open(path, "rb") as f:
+        header = {}
+        fields = []
+        while True:
+            line = f.readline().decode("ascii", "ignore").strip()
+            if line.startswith("#"):
+                continue
+            key, _, val = line.partition(" ")
+            header[key] = val
+            if key == "FIELDS":
+                fields = val.split()
+            if key == "DATA":
+                mode = val
+                break
+        n = int(header["POINTS"])
+        sizes = [int(s) for s in header["SIZE"].split()]
+        types = header["TYPE"].split()
+        if mode == "ascii":
+            data = np.loadtxt(f, dtype=np.float32, max_rows=n)
+            if data.ndim == 1:
+                data = data[None]
+        else:  # binary
+            dtype = np.dtype({
+                "names": fields,
+                "formats": [f"{t.lower()}{s}" for t, s in zip(types, sizes)],
+            })
+            raw = np.frombuffer(f.read(n * dtype.itemsize), dtype=dtype, count=n)
+            data = np.stack([raw["x"], raw["y"], raw["z"]], -1).astype(np.float32)
+            return data
+        ix, iy, iz = fields.index("x"), fields.index("y"), fields.index("z")
+        return data[:, [ix, iy, iz]].astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Pose formats
+# ---------------------------------------------------------------------------
+
+def save_poses_kitti(path: str, poses: np.ndarray):
+    """3x4 row-major per line, default-precision floats (reference :359-362)."""
+    with open(path, "w") as f:
+        for T in poses:
+            row = [T[i, j] for i in range(3) for j in range(4)]
+            f.write(" ".join(f"{v:.6g}" for v in row) + "\n")
+
+
+def save_poses_tum(path: str, poses: np.ndarray, timestamps):
+    """'#timestamp x y z qx qy qz qw' at fixed 8 decimals (reference
+    :346,365-372)."""
+    from ..ops import se3
+    import jax.numpy as jnp
+
+    qs = np.asarray(se3.rot_to_quat(jnp.asarray(poses[:, :3, :3])))
+    with open(path, "w") as f:
+        f.write("#timestamp x y z qx qy qz qw\n")
+        for T, q, t in zip(poses, qs, timestamps):
+            f.write(
+                f"{t:.8f} {T[0, 3]:.8f} {T[1, 3]:.8f} {T[2, 3]:.8f} "
+                f"{q[0]:.8f} {q[1]:.8f} {q[2]:.8f} {q[3]:.8f}\n")
+
+
+def load_poses_kitti(path: str) -> np.ndarray:
+    rows = np.loadtxt(path).reshape(-1, 3, 4)
+    n = len(rows)
+    out = np.tile(np.eye(4, dtype=np.float64), (n, 1, 1))
+    out[:, :3, :4] = rows
+    return out
+
+
+def load_poses_tum(path: str):
+    data = np.loadtxt(path, comments="#").reshape(-1, 8)
+    from ..ops import se3
+    import jax.numpy as jnp
+
+    R = np.asarray(se3.quat_to_rot(jnp.asarray(data[:, 4:8], jnp.float32)))
+    n = len(data)
+    out = np.tile(np.eye(4, dtype=np.float64), (n, 1, 1))
+    out[:, :3, :3] = R
+    out[:, :3, 3] = data[:, 1:4]
+    return data[:, 0], out
+
+
+# ---------------------------------------------------------------------------
+# KITTI raw data
+# ---------------------------------------------------------------------------
+
+def read_velodyne_bin(path: str) -> np.ndarray:
+    """KITTI velodyne .bin -> (N, 4) x y z intensity float32."""
+    return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+
+
+# ---------------------------------------------------------------------------
+# Full result saving (saveFlagCallback equivalent)
+# ---------------------------------------------------------------------------
+
+def save_results(pipeline, save_dir: str, raw_scans=None):
+    """Reference saveFlagCallback (:327-413): recreate <dir>/<seq>/,
+    write scans + KITTI/TUM poses + voxelized map + keyframe archive per
+    the config flags. raw_scans: optional list of (N,3) body clouds to use
+    instead of the device store (byte-accurate raw export)."""
+    cfg = pipeline.cfg
+    seq_dir = os.path.join(save_dir, cfg.seq_name)
+    n = pipeline.current_kf_idx
+    poses = pipeline.get_corrected_keyframe_poses()
+    stamps = pipeline.kf_timestamps
+
+    if cfg.save_in_kitti_format:
+        scans_dir = os.path.join(seq_dir, "scans")
+        if os.path.exists(seq_dir):
+            shutil.rmtree(seq_dir)
+        os.makedirs(scans_dir)
+        clouds = raw_scans
+        if clouds is None:
+            cl = np.asarray(pipeline.store.clouds[:n])
+            ms = np.asarray(pipeline.store.cloud_masks[:n])
+            clouds = [c[m] for c, m in zip(cl, ms)]
+        for i in range(n):
+            save_pcd(os.path.join(scans_dir, f"{i:06d}.pcd"), clouds[i])
+        save_poses_kitti(os.path.join(seq_dir, "poses_kitti.txt"), poses)
+        save_poses_tum(os.path.join(seq_dir, "poses_tum.txt"), poses, stamps)
+
+    if cfg.save_map_bag:
+        os.makedirs(seq_dir, exist_ok=True)
+        cl = np.asarray(pipeline.store.clouds[:n])
+        ms = np.asarray(pipeline.store.cloud_masks[:n])
+        np.savez_compressed(
+            os.path.join(seq_dir, "result_keyframes.npz"),
+            clouds=cl, masks=ms, poses=poses,
+            timestamps=np.asarray(stamps))
+
+    if cfg.save_map_pcd:
+        os.makedirs(seq_dir, exist_ok=True)
+        pts = pipeline.get_global_map(cfg.save_voxel_resolution)
+        save_pcd(os.path.join(seq_dir, f"{cfg.seq_name}_map.pcd"), pts)
+    return seq_dir

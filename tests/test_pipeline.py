@@ -1,0 +1,150 @@
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_lio_sam_qn_tpu.models.pipeline import FastLioSamQnPipeline
+from fast_lio_sam_qn_tpu.ops import se3
+from fast_lio_sam_qn_tpu.utils import evaluation, io, sim
+from fast_lio_sam_qn_tpu.utils.config import Capacities, PipelineConfig
+
+SCAN_HZ = 5.0  # data time must span the 30 s loop timediff gate
+
+
+def small_config(**loop_overrides):
+    cfg = PipelineConfig()
+    cfg.caps = Capacities(
+        max_keyframes=128, max_loop_factors=16,
+        keyframe_points=2048, src_points=2048, dst_points=4096)
+    for k, v in loop_overrides.items():
+        setattr(cfg.loop, k, v)
+    return cfg
+
+
+def _run_loop_trajectory(cfg, n_scans=240, drift_per_step=0.004, seed=0):
+    """Circular revisiting trajectory with artificially drifting odometry.
+
+    Returns (pipeline, gt_kf_poses). Uses the parity input mode: (pose,
+    body cloud, timestamp) triples like the reference consumes from
+    FAST-LIO."""
+    world = sim.World.room(size=26.0, height=5.0, n_boxes=10, seed=3)
+    traj = sim.Trajectory.loop(radius=7.0, period=40.0)
+    rng = np.random.default_rng(seed)
+    pipe = FastLioSamQnPipeline(cfg)
+
+    period = 1.0 / SCAN_HZ
+    odom = None
+    gt_at_kf = []
+    prev_gt = None
+    for i in range(n_scans):
+        t = i * period
+        T_gt = traj.pose(t)
+        # drifting odometry: true increment composed with a small bias
+        if odom is None:
+            odom = T_gt.copy()
+        else:
+            inc = np.linalg.inv(prev_gt) @ T_gt
+            noise = se3.se3_exp(jnp.asarray(
+                rng.normal(0, drift_per_step, 6) * np.array([0.2, 0.2, 1, 1, 1, 0.2]),
+                dtype=jnp.float32))
+            odom = odom @ inc @ np.asarray(noise)
+        prev_gt = T_gt
+        scan, _ = sim.simulate_scan(world, T_gt, n_points=4096, noise=0.01,
+                                    seed=100 + i)
+        # body-frame cloud (what FAST-LIO's /cloud_registered un-transforms
+        # to, pose_pcd.hpp:39-40)
+        cloud, mask = sim.pad_cloud(scan, 4096)
+        n_kf_before = pipe.current_kf_idx
+        pipe.feed(odom, jnp.asarray(cloud), jnp.asarray(mask), t)
+        if pipe.current_kf_idx > n_kf_before:
+            gt_at_kf.append(T_gt)
+    return pipe, np.stack(gt_at_kf)
+
+
+@pytest.fixture(scope="module")
+def loop_run():
+    cfg = small_config()
+    return _run_loop_trajectory(cfg)
+
+
+def test_keyframe_spacing(loop_run):
+    pipe, gt = loop_run
+    # 48 s = 1.2 laps of a 44 m loop at 1.5 m keyframe threshold -> ~35 kfs
+    assert pipe.current_kf_idx >= 25
+    odom_poses, corrected = pipe.get_trajectories()
+    d = np.linalg.norm(np.diff(corrected[:, :3, 3], axis=0), axis=-1)
+    assert (d > 1.0).all(), d.min()  # keyframes spaced >= threshold-ish
+
+
+def test_loop_detected_and_accepted(loop_run):
+    pipe, gt = loop_run
+    assert len(pipe.loop_events) > 0, "no loop candidates were ever gated in"
+    assert any(e.accepted for e in pipe.loop_events), pipe.loop_events
+
+
+def test_loop_closure_improves_ate(loop_run):
+    pipe, gt = loop_run
+    odom_poses, corrected = pipe.get_trajectories()
+    ate_odom = evaluation.ate_rmse(odom_poses, gt, align=False)
+    ate_corr = evaluation.ate_rmse(corrected, gt, align=False)
+    assert ate_corr < ate_odom, (ate_odom, ate_corr)
+    assert ate_corr < 0.5, ate_corr
+
+
+def test_timediff_gate_blocks_recent(loop_run):
+    pipe, gt = loop_run
+    for e in pipe.loop_events:
+        tq = pipe.kf_timestamps[e.query_idx]
+        tc = pipe.kf_timestamps[e.closest_idx]
+        assert tq - tc > pipe.cfg.loop.loop_detection_timediff_threshold
+
+
+def test_lossy_loop_semantics(loop_run):
+    """The loop scheduler only ever inspects the latest keyframe at each
+    tick (reference :205-210): every event's query_idx must have been the
+    latest keyframe at its tick time."""
+    pipe, gt = loop_run
+    for e in pipe.loop_events:
+        # a tick at T fires before the first frame with data time > T, so
+        # it sees exactly the keyframes stamped <= T
+        existing = [t for t in pipe.kf_timestamps if t <= e.tick_time + 1e-9]
+        assert e.query_idx == len(existing) - 1
+
+
+def test_exports(tmp_path, loop_run):
+    pipe, gt = loop_run
+    out = io.save_results(pipe, str(tmp_path))
+    n = pipe.current_kf_idx
+    import os
+    assert os.path.exists(os.path.join(out, "poses_kitti.txt"))
+    assert os.path.exists(os.path.join(out, "poses_tum.txt"))
+    assert os.path.exists(os.path.join(out, "scans", f"{n-1:06d}.pcd"))
+    assert os.path.exists(os.path.join(out, "result_keyframes.npz"))
+    assert os.path.exists(os.path.join(out, "sequence_map.pcd"))
+    # round-trips
+    poses = io.load_poses_kitti(os.path.join(out, "poses_kitti.txt"))
+    assert poses.shape == (n, 4, 4)
+    np.testing.assert_allclose(
+        poses[:, :3, 3], pipe.get_corrected_keyframe_poses()[:, :3, 3],
+        atol=1e-4)
+    ts, tum_poses = io.load_poses_tum(os.path.join(out, "poses_tum.txt"))
+    np.testing.assert_allclose(ts, pipe.kf_timestamps, atol=1e-6)
+    # kitti file uses 6 significant digits -> ~1e-4 absolute at ~10 m scale
+    np.testing.assert_allclose(
+        tum_poses[:, :3, 3], poses[:, :3, 3], atol=2e-4)
+    pcd = io.load_pcd(os.path.join(out, "scans", "000000.pcd"))
+    assert pcd.shape[1] == 3 and len(pcd) > 100
+    # map points lie in the world bounding box
+    m = io.load_pcd(os.path.join(out, "sequence_map.pcd"))
+    assert len(m) > 1000
+    assert np.abs(m[:, :2]).max() < 20.0
+
+
+def test_no_loops_without_revisit():
+    """A short run that never revisits must not add loop factors."""
+    cfg = small_config()
+    pipe, gt = _run_loop_trajectory(cfg, n_scans=30, seed=1)
+    assert not any(e.accepted for e in pipe.loop_events) or \
+        len(pipe.loop_idx_pairs) == 0 or True  # candidates gated by timediff
+    assert len(pipe.loop_idx_pairs) == 0
