@@ -81,11 +81,15 @@ def main():
 
     src, dst = build_pair()
     run = jax.jit(lambda s, d: full_match(s, d))
-    out = jax.block_until_ready(run(src, dst))  # compile + first run
+    # NOTE: on the tunneled TPU platform block_until_ready does not reliably
+    # block, so each timed iteration must end in a host read of the result.
+    out = run(src, dst)
+    float(out[1])  # compile + first run, forced to completion
     times = []
     for _ in range(10):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(run(src, dst))
+        out = run(src, dst)
+        float(out[1])
         times.append((time.perf_counter() - t0) * 1e3)
     ms = float(np.median(times))
     assert bool(out[2]), "benchmark match did not converge"

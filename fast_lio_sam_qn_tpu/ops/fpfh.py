@@ -26,7 +26,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from . import knn
+from . import knn, pallas_knn
 
 FPFH_DIM = 33
 _NBINS = 11
@@ -47,7 +47,7 @@ def estimate_normals(points, mask, radius: jax.Array, k: int = 32,
     if viewpoint is None:
         viewpoint = jnp.sum(points * mask[:, None], 0) / jnp.maximum(
             jnp.sum(mask), 1.0)
-    d2, idx, v = knn.brute_knn(points, mask, points, mask, k=k)
+    d2, idx, v = pallas_knn.knn_pallas(points, mask, points, mask, k)
     in_r = v & (d2 <= radius * radius)
     npts = points[jnp.clip(idx, 0)]
     w = in_r.astype(points.dtype)
@@ -122,7 +122,7 @@ def fpfh(
                                         k=k_normal, viewpoint=viewpoint)
     m = mask & n_valid
 
-    d2, idx, v = knn.brute_knn(points, m, points, m, k=k_feat)
+    d2, idx, v = pallas_knn.knn_pallas(points, m, points, m, k_feat)
     idx_c = jnp.clip(idx, 0)
     in_r = v & (d2 <= feature_radius * feature_radius) & (d2 > 1e-12)
     q = points[idx_c]          # (N,K,3)

@@ -25,7 +25,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import hashgrid, knn, linalg3, se3
+from . import hashgrid, knn, linalg3, pallas_knn, se3
 
 # fast_gicp-style plane regularization: eigenvalues replaced by (e, 1, 1)
 PLANE_EPS = 1e-3
@@ -67,7 +67,7 @@ def plane_covariances(
             grid, points, mask, k=k, window=window
         )
     else:
-        nn_d2, nn_idx, nn_valid = knn.brute_knn(points, mask, points, mask, k=k)
+        nn_d2, nn_idx, nn_valid = pallas_knn.knn_pallas(points, mask, points, mask, k)
         nn_pts = points[jnp.clip(nn_idx, 0)]
     w = nn_valid.astype(points.dtype)
     cnt = jnp.sum(w, axis=-1)
@@ -108,7 +108,7 @@ def _gicp_iterate(
     def body(state: _GNState) -> _GNState:
         R = state.T[:3, :3]
         y = se3.transform_points(src, state.T)  # (N,3)
-        d2, idx, nn_ok = knn.brute_nn(y, src_mask, dst, dst_mask)
+        d2, idx, nn_ok = pallas_knn.nn_pallas(y, src_mask, dst, dst_mask)
         corr = nn_ok & (d2 < max_d2)
         j = jnp.clip(idx, 0)
         dpts = dst[j]
@@ -156,7 +156,7 @@ def fitness_score(src, src_mask, dst, dst_mask, T):
     """PCL Registration::getFitnessScore with default max_range: mean squared
     distance from each (valid) transformed src point to its dst NN."""
     y = se3.transform_points(src, T)
-    d2, idx, ok = knn.brute_nn(y, src_mask, dst, dst_mask)
+    d2, idx, ok = pallas_knn.nn_pallas(y, src_mask, dst, dst_mask)
     w = (ok & src_mask).astype(src.dtype)
     return jnp.sum(d2 * w) / jnp.maximum(jnp.sum(w), 1.0)
 

@@ -29,7 +29,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import knn, se3
+from . import knn, pallas_knn, se3
 
 
 class QuatroResult(NamedTuple):
@@ -49,8 +49,10 @@ def match_features(
     Returns (s_pts (C,3), d_pts (C,3), valid (C,)).
     """
     # src -> dst and dst -> src nearest in feature space
-    d2_sd, idx_sd, v_sd = knn.brute_nn(src_desc, src_valid, dst_desc, dst_valid)
-    d2_ds, idx_ds, v_ds = knn.brute_nn(dst_desc, dst_valid, src_desc, src_valid)
+    d2_sd, idx_sd, v_sd = pallas_knn.nn_pallas(src_desc, src_valid,
+                                               dst_desc, dst_valid)
+    d2_ds, idx_ds, v_ds = pallas_knn.nn_pallas(dst_desc, dst_valid,
+                                               src_desc, src_valid)
     n_src = src_desc.shape[0]
     back = idx_ds[jnp.clip(idx_sd, 0)]  # (Ns,)
     mutual = v_sd & (back == jnp.arange(n_src))
