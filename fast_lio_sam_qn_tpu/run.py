@@ -1,0 +1,284 @@
+"""End-to-end runner — the `roslaunch fast_lio_sam_qn run.launch` equivalent.
+
+Modes (mirroring how the reference is driven, README.md:83-94, minus ROS):
+
+  python -m fast_lio_sam_qn_tpu.run --sim --out /tmp/out
+      Synthetic closed-loop sequence through the FULL stack (our LIO front
+      end + PGO + two-stage loop closure), then export + report.
+
+  python -m fast_lio_sam_qn_tpu.run --scans DIR --poses poses.txt \
+         [--stamps times.txt] --preset kitti --out /tmp/out
+      Parity mode: external odometry (KITTI-format pose file) + scan files
+      (.bin/.pcd, sorted) — exactly what the reference consumes from the
+      FAST-LIO node over /Odometry + /cloud_registered. Scans must be in the
+      BODY frame (the runner un-transforms world-frame clouds if
+      --world-frame is passed, like pose_pcd.hpp:39-40).
+
+  python -m fast_lio_sam_qn_tpu.run --kitti DIR --preset kitti --out /tmp/out
+      Integrated mode: DIR contains scans/*.bin (KITTI velodyne), imu.txt
+      ("t gx gy gz ax ay az" rows) and times.txt (scan timestamps); runs the
+      LIO front end + PGO.
+
+Checkpointing: --checkpoint path saves the full state at the end;
+--resume path restores before running.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def run_sim(args):
+    import jax.numpy as jnp
+
+    from .configs.presets import get_pipeline_config
+    from .models.lio import LIO
+    from .models.pipeline import FastLioSamQnPipeline
+    from .utils import evaluation, sim
+    from .utils.config import Capacities
+    from .utils.profiling import Profiler
+
+    cfg = get_pipeline_config("sim")
+    cfg.caps = Capacities(max_keyframes=256, max_loop_factors=32,
+                          keyframe_points=2048, src_points=2048,
+                          dst_points=4096)
+    pipe = FastLioSamQnPipeline(cfg)
+    lio = LIO(cfg.lio)
+    prof = Profiler()
+
+    world = sim.World.room(size=26.0, height=5.0, n_boxes=10, seed=3)
+    traj = sim.Trajectory.loop(radius=7.0, period=40.0)
+    scan_hz = 5.0
+    n_scans = args.n_scans or 240
+    period = 1.0 / scan_hz
+
+    state = lio.init_state()
+    T0 = traj.pose(0.0)
+    v0, _, _ = traj.derivatives(0.0)
+    state = state._replace(nav=state.nav._replace(
+        v=jnp.asarray(T0[:3, :3].T @ v0, jnp.float32)))
+
+    gt = []
+    cap = cfg.lio.max_points_per_scan
+    for i in range(n_scans):
+        t0, t1 = i * period, (i + 1) * period
+        with prof.span("sim"):
+            pts, rel_t = sim.simulate_scan_swept(
+                world, traj, t0, n_points=cap, noise=0.01, seed=100 + i,
+                scan_period=period)
+            ts, gyro, acc = sim.simulate_imu(
+                traj, t0, t1, rate=200.0, gyro_noise=0.002, acc_noise=0.02,
+                seed=200 + i)
+            cloud, mask = sim.pad_cloud(pts, cap)
+            it = np.zeros(64, np.float32)
+            ig = np.zeros((64, 3), np.float32)
+            ia = np.zeros((64, 3), np.float32)
+            im = np.zeros(64, bool)
+            k = min(len(ts), 64)
+            it[:k], ig[:k], ia[:k], im[:k] = ts[:k], gyro[:k], acc[:k], True
+        with prof.span("lio"):
+            state, res = lio.process_scan(
+                state, jnp.asarray(cloud), jnp.asarray(rel_t),
+                jnp.asarray(mask), jnp.asarray(it), jnp.asarray(ig),
+                jnp.asarray(ia), jnp.asarray(im), t0, t1)
+        with prof.span("pgo"):
+            pipe.feed(res.pose, res.cloud_body, res.cloud_mask, t1)
+        gt.append(np.linalg.inv(T0) @ traj.pose(t1))
+        if args.verbose and i % 25 == 0:
+            print(f"scan {i}/{n_scans} kfs={pipe.current_kf_idx} "
+                  f"loops={len(pipe.loop_idx_pairs)}", flush=True)
+
+    # evaluation against ground truth at keyframes
+    _, corrected = pipe.get_trajectories()
+    gt_kf = []
+    gtn = np.stack(gt)
+    for t in pipe.kf_timestamps:
+        gt_kf.append(gtn[min(int(round(t / period)) - 1, len(gtn) - 1)])
+    ate = evaluation.ate_rmse(corrected, np.stack(gt_kf))
+    report = {
+        "mode": "sim", "scans": n_scans, "keyframes": pipe.current_kf_idx,
+        "loops_accepted": len(pipe.loop_idx_pairs),
+        "loop_attempts": len(pipe.loop_events),
+        "ate_rmse_m": round(ate, 4),
+        "timing": prof.summary(),
+    }
+    return pipe, report
+
+
+def _feed_scan_files(pipe, scan_paths, poses, stamps, world_frame, cap):
+    import jax.numpy as jnp
+
+    from .runtime import ScanLoader
+    from .utils.sim import pad_cloud
+
+    loader = ScanLoader(scan_paths, cap=1 << 18)
+    for i, (T, t) in enumerate(zip(poses, stamps)):
+        xyzi = loader.get(i)
+        pts = xyzi[:, :3]
+        if world_frame:
+            # un-transform world-frame clouds to body (pose_pcd.hpp:39-40)
+            Tinv = np.linalg.inv(T)
+            pts = pts @ Tinv[:3, :3].T + Tinv[:3, 3]
+        if len(pts) > cap:  # uniform decimation to the configured capacity
+            pts = pts[:: int(np.ceil(len(pts) / cap))]
+        cloud, mask = pad_cloud(pts.astype(np.float32), cap)
+        pipe.feed(jnp.asarray(T, jnp.float32), jnp.asarray(cloud),
+                  jnp.asarray(mask), float(t))
+    loader.close()
+
+
+def run_parity(args):
+    from .configs.presets import get_pipeline_config
+    from .models.pipeline import FastLioSamQnPipeline
+    from .utils import io
+    from .utils.profiling import Profiler
+
+    cfg = get_pipeline_config(args.preset)
+    pipe = FastLioSamQnPipeline(cfg)
+    prof = Profiler()
+    scan_paths = sorted(
+        glob.glob(os.path.join(args.scans, "*.bin"))
+        + glob.glob(os.path.join(args.scans, "*.pcd")))
+    poses = io.load_poses_kitti(args.poses)
+    n = min(len(scan_paths), len(poses))
+    stamps = (np.loadtxt(args.stamps)[:n] if args.stamps
+              else np.arange(n) * 0.1)
+    with prof.span("run"):
+        _feed_scan_files(pipe, scan_paths[:n], poses[:n], stamps,
+                         args.world_frame, cfg.caps.keyframe_points)
+    report = {
+        "mode": "parity", "scans": n, "keyframes": pipe.current_kf_idx,
+        "loops_accepted": len(pipe.loop_idx_pairs),
+        "loop_attempts": len(pipe.loop_events),
+        "timing": prof.summary(),
+    }
+    return pipe, report
+
+
+def run_kitti(args):
+    import jax.numpy as jnp
+
+    from .configs.presets import get_pipeline_config
+    from .models.lio import LIO
+    from .models.pipeline import FastLioSamQnPipeline
+    from .runtime import ScanLoader
+    from .utils.profiling import Profiler
+    from .utils.sim import pad_cloud
+
+    cfg = get_pipeline_config(args.preset)
+    pipe = FastLioSamQnPipeline(cfg)
+    lio = LIO(cfg.lio)
+    prof = Profiler()
+
+    scan_paths = sorted(glob.glob(os.path.join(args.kitti, "scans", "*.bin")))
+    stamps = np.loadtxt(os.path.join(args.kitti, "times.txt"))
+    imu = np.loadtxt(os.path.join(args.kitti, "imu.txt"))  # t gx gy gz ax..az
+    n = min(len(scan_paths), len(stamps))
+    if args.n_scans:
+        n = min(n, args.n_scans)
+
+    # gravity/bias init from pre-motion IMU (FAST-LIO-style standstill init)
+    pre = imu[imu[:, 0] <= stamps[0]]
+    init_rows = pre if len(pre) >= 5 else imu[:20]
+    gdir, bg = LIO.init_from_imu(init_rows[:, 1:4], init_rows[:, 4:7])
+    state = lio.init_state(gravity_dir=gdir, gyro_bias=bg, t0=stamps[0])
+
+    loader = ScanLoader(scan_paths[:n], cap=1 << 18)
+    cap = cfg.lio.max_points_per_scan
+    imu_cap = 64
+    for i in range(n):
+        t1 = stamps[i]
+        t0 = stamps[i - 1] if i else t1 - 0.1
+        with prof.span("io"):
+            xyzi = loader.get(i)
+            pts = xyzi[:, :3].astype(np.float32)
+            # synthesize per-point sweep times from azimuth (KITTI bins
+            # carry no per-point stamps; azimuth is the sweep coordinate)
+            az = np.arctan2(pts[:, 1], pts[:, 0])
+            rel = ((-az + np.pi) % (2 * np.pi)) / (2 * np.pi) * (t1 - t0)
+            if len(pts) > cap:
+                step = int(np.ceil(len(pts) / cap))
+                pts, rel = pts[::step], rel[::step]
+            cloud, mask = pad_cloud(pts, cap)
+            rows = imu[(imu[:, 0] > t0) & (imu[:, 0] <= t1)][:imu_cap]
+            it = np.zeros(imu_cap, np.float32)
+            ig = np.zeros((imu_cap, 3), np.float32)
+            ia = np.zeros((imu_cap, 3), np.float32)
+            im = np.zeros(imu_cap, bool)
+            k = len(rows)
+            if k:
+                it[:k] = rows[:, 0]
+                ig[:k] = rows[:, 1:4]
+                ia[:k] = rows[:, 4:7]
+                im[:k] = True
+            relp = np.zeros(cap, np.float32)
+            relp[: len(rel)] = rel[:cap] if len(rel) > cap else rel
+        with prof.span("lio"):
+            state, res = lio.process_scan(
+                state, jnp.asarray(cloud), jnp.asarray(relp),
+                jnp.asarray(mask), jnp.asarray(it), jnp.asarray(ig),
+                jnp.asarray(ia), jnp.asarray(im), float(t0), float(t1))
+        with prof.span("pgo"):
+            pipe.feed(res.pose, res.cloud_body, res.cloud_mask, float(t1))
+        if args.verbose and i % 50 == 0:
+            print(f"scan {i}/{n} kfs={pipe.current_kf_idx} "
+                  f"matches={int(res.num_matches)}", flush=True)
+    loader.close()
+    report = {
+        "mode": "kitti", "scans": n, "keyframes": pipe.current_kf_idx,
+        "loops_accepted": len(pipe.loop_idx_pairs),
+        "timing": prof.summary(),
+    }
+    return pipe, report
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--sim", action="store_true")
+    p.add_argument("--kitti", help="KITTI-style dataset dir")
+    p.add_argument("--scans", help="scan dir for parity mode")
+    p.add_argument("--poses", help="KITTI-format odometry pose file")
+    p.add_argument("--stamps", help="timestamps file (one float per scan)")
+    p.add_argument("--world-frame", action="store_true",
+                   help="scans are world-frame (un-transform by pose)")
+    p.add_argument("--preset", default="kitti")
+    p.add_argument("--out", default=None, help="export directory")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--n-scans", type=int, default=None)
+    p.add_argument("-v", "--verbose", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.sim:
+        pipe, report = run_sim(args)
+    elif args.kitti:
+        pipe, report = run_kitti(args)
+    elif args.scans and args.poses:
+        pipe, report = run_parity(args)
+    else:
+        p.error("pick a mode: --sim | --kitti DIR | --scans DIR --poses F")
+
+    if args.resume:
+        raise SystemExit("--resume must be handled before the run; "
+                         "use the library API for mid-run resume")
+    if args.checkpoint:
+        from .utils.checkpoint import save_checkpoint
+
+        save_checkpoint(pipe, args.checkpoint)
+        report["checkpoint"] = args.checkpoint
+    if args.out:
+        from .utils.io import save_results
+
+        out_dir = save_results(pipe, args.out)
+        report["exported_to"] = out_dir
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,110 @@
+"""Mid-run checkpoint / resume of the full SLAM state.
+
+The reference has output-only persistence (SURVEY §5): map+poses on demand
+and at shutdown, no mid-run resume.  Because our entire state is a pytree of
+device arrays (keyframe store, factor graph, scheduler scalars), true
+checkpointing is one npz write — so we add it, as the SURVEY build plan
+calls for.
+
+Format: a single compressed npz of the pipeline's device state + a small
+JSON-ish scalar block for the host-side scheduler state.
+"""
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+
+def save_checkpoint(pipeline, path: str):
+    from ..models.pipeline import FastLioSamQnPipeline  # noqa: F401
+
+    st = pipeline.store
+    g = pipeline.graph
+    host = {
+        "initialized": pipeline.initialized,
+        "current_kf_idx": pipeline.current_kf_idx,
+        "loop_added_flag": pipeline.loop_added_flag,
+        "latest_kf_processed": pipeline.latest_kf_processed,
+        "next_loop_tick": pipeline._next_loop_tick,
+        "loop_idx_pairs": pipeline.loop_idx_pairs,
+        "kf_timestamps": pipeline.kf_timestamps,
+        "loop_events": [
+            (e.tick_time, e.query_idx, e.closest_idx, e.score, e.accepted)
+            for e in pipeline.loop_events
+        ],
+    }
+    np.savez_compressed(
+        path,
+        host_json=np.frombuffer(json.dumps(host).encode(), dtype=np.uint8),
+        store_clouds=np.asarray(st.clouds),
+        store_cloud_masks=np.asarray(st.cloud_masks),
+        store_poses=np.asarray(st.poses),
+        store_poses_corrected=np.asarray(st.poses_corrected),
+        store_timestamps=np.asarray(st.timestamps),
+        store_count=np.asarray(st.count),
+        graph_poses=np.asarray(g.poses),
+        graph_num_nodes=np.asarray(g.num_nodes),
+        graph_prior_pose=np.asarray(g.prior_pose),
+        graph_odom_meas=np.asarray(g.odom_meas),
+        graph_loop_i=np.asarray(g.loop_i),
+        graph_loop_j=np.asarray(g.loop_j),
+        graph_loop_meas=np.asarray(g.loop_meas),
+        graph_loop_var=np.asarray(g.loop_var),
+        graph_num_loops=np.asarray(g.num_loops),
+        last_odom_pose=np.asarray(pipeline.last_odom_pose),
+        odom_delta=np.asarray(pipeline.odom_delta),
+        last_corrected_pose=np.asarray(pipeline.last_corrected_pose),
+        last_kf_corrected=np.asarray(pipeline.last_kf_corrected),
+        realtime_poses=np.asarray(pipeline.realtime_poses)
+        if pipeline.realtime_poses else np.zeros((0, 4, 4)),
+        odom_poses=np.asarray(pipeline.odom_poses)
+        if pipeline.odom_poses else np.zeros((0, 4, 4)),
+    )
+
+
+def load_checkpoint(pipeline, path: str):
+    """Restore state into an already-constructed pipeline (capacities must
+    match the checkpoint)."""
+    import jax.numpy as jnp
+
+    from ..models.keyframes import KeyframeStore
+    from ..models.pipeline import LoopEvent
+    from ..ops.pgo import GraphState
+
+    z = np.load(path)
+    host = json.loads(bytes(z["host_json"]).decode())
+    pipeline.store = KeyframeStore(
+        clouds=jnp.asarray(z["store_clouds"]),
+        cloud_masks=jnp.asarray(z["store_cloud_masks"]),
+        poses=jnp.asarray(z["store_poses"]),
+        poses_corrected=jnp.asarray(z["store_poses_corrected"]),
+        timestamps=jnp.asarray(z["store_timestamps"]),
+        count=jnp.asarray(z["store_count"]),
+    )
+    pipeline.graph = GraphState(
+        poses=jnp.asarray(z["graph_poses"]),
+        num_nodes=jnp.asarray(z["graph_num_nodes"]),
+        prior_pose=jnp.asarray(z["graph_prior_pose"]),
+        odom_meas=jnp.asarray(z["graph_odom_meas"]),
+        loop_i=jnp.asarray(z["graph_loop_i"]),
+        loop_j=jnp.asarray(z["graph_loop_j"]),
+        loop_meas=jnp.asarray(z["graph_loop_meas"]),
+        loop_var=jnp.asarray(z["graph_loop_var"]),
+        num_loops=jnp.asarray(z["graph_num_loops"]),
+    )
+    pipeline.initialized = host["initialized"]
+    pipeline.current_kf_idx = host["current_kf_idx"]
+    pipeline.loop_added_flag = host["loop_added_flag"]
+    pipeline.latest_kf_processed = host["latest_kf_processed"]
+    pipeline._next_loop_tick = host["next_loop_tick"]
+    pipeline.loop_idx_pairs = [tuple(p) for p in host["loop_idx_pairs"]]
+    pipeline.kf_timestamps = host["kf_timestamps"]
+    pipeline.loop_events = [LoopEvent(*e) for e in host["loop_events"]]
+    pipeline.last_odom_pose = jnp.asarray(z["last_odom_pose"])
+    pipeline.odom_delta = jnp.asarray(z["odom_delta"])
+    pipeline.last_corrected_pose = jnp.asarray(z["last_corrected_pose"])
+    pipeline.last_kf_corrected = jnp.asarray(z["last_kf_corrected"])
+    pipeline.realtime_poses = list(z["realtime_poses"])
+    pipeline.odom_poses = list(z["odom_poses"])
+    return pipeline

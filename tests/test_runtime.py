@@ -1,0 +1,101 @@
+import os
+
+import numpy as np
+import pytest
+
+from fast_lio_sam_qn_tpu.runtime import native
+from fast_lio_sam_qn_tpu.utils import io
+
+
+@pytest.fixture(scope="module")
+def scan_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("scans")
+    rng = np.random.default_rng(0)
+    paths = []
+    truth = []
+    for i in range(6):
+        pts = rng.normal(0, 5, (500 + 100 * i, 4)).astype(np.float32)
+        if i % 2 == 0:
+            p = str(d / f"{i:06d}.bin")
+            pts.tofile(p)
+        else:
+            p = str(d / f"{i:06d}.pcd")
+            io.save_pcd(p, pts[:, :3], pts[:, 3])
+        paths.append(p)
+        truth.append(pts)
+    return paths, truth
+
+
+def test_native_lib_builds():
+    assert native.available(), "native runtime failed to build (g++ present?)"
+
+
+def test_read_scan_bin_and_pcd(scan_files):
+    paths, truth = scan_files
+    for p, t in zip(paths, truth):
+        got = native.read_scan(p)
+        assert got.shape[0] == t.shape[0]
+        np.testing.assert_allclose(got[:, :3], t[:, :3], atol=1e-4)
+
+
+def test_scan_loader_prefetch(scan_files):
+    paths, truth = scan_files
+    loader = native.ScanLoader(paths, cap=4096, n_threads=2, lookahead=3)
+    # out-of-order access still works (blocks until decoded)
+    for idx in [0, 2, 1, 5, 3, 4]:
+        got = loader.get(idx)
+        assert got.shape[0] == truth[idx].shape[0]
+        np.testing.assert_allclose(got[:, :3], truth[idx][:, :3], atol=1e-4)
+    loader.close()
+
+
+def test_approx_time_sync_pairs_nearest():
+    s = native.ApproxTimeSync(slop=0.05)
+    # stream a at 10 Hz, stream b slightly offset
+    for i in range(10):
+        s.push_a(i * 0.1, i)
+    for i in range(10):
+        s.push_b(i * 0.1 + 0.01, 100 + i)
+    pairs = []
+    while (p := s.pop()) is not None:
+        pairs.append(p)
+    assert len(pairs) == 10
+    for (ia, ib, ta, tb) in pairs:
+        assert ib == 100 + ia
+        assert abs(ta - tb) < 0.05
+    s.close()
+
+
+def test_approx_time_sync_drops_unmatched():
+    s = native.ApproxTimeSync(slop=0.02)
+    s.push_a(0.0, 0)
+    s.push_a(1.0, 1)
+    s.push_b(1.005, 100)   # only matches a[1]
+    pairs = []
+    while (p := s.pop()) is not None:
+        pairs.append(p)
+    assert len(pairs) == 1
+    assert pairs[0][0] == 1 and pairs[0][1] == 100
+    s.close()
+
+
+def test_python_fallback_sync_matches_native():
+    a = native.ApproxTimeSync(slop=0.05)
+    b = native.ApproxTimeSync(slop=0.05)
+    b._h = None  # force the python fallback path
+    b._qa, b._qb = [], []
+    rng = np.random.default_rng(1)
+    ts_a = np.sort(rng.uniform(0, 10, 40))
+    ts_b = np.sort(rng.uniform(0, 10, 40))
+    for i, t in enumerate(ts_a):
+        a.push_a(t, i)
+        b.push_a(t, i)
+    for i, t in enumerate(ts_b):
+        a.push_b(t, i)
+        b.push_b(t, i)
+    pa, pb = [], []
+    while (p := a.pop()) is not None:
+        pa.append(p)
+    while (p := b.pop()) is not None:
+        pb.append(p)
+    assert pa == pb
