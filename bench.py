@@ -79,6 +79,12 @@ def full_match(src, dst):
 def main():
     import jax
 
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/flsq_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     src, dst = build_pair()
     run = jax.jit(lambda s, d: full_match(s, d))
     # NOTE: on the tunneled TPU platform block_until_ready does not reliably

@@ -127,6 +127,11 @@ class LoopClosure:
         self.cfg = cfg
         self.src_cap = src_cap
         self.dst_cap = dst_cap
+        # the whole candidate->clouds->register pipeline as ONE compiled
+        # program: host round-trips per dispatch are expensive (tens of ms
+        # over the axon tunnel), and the reference's per-loop work is a
+        # single function call too
+        self._perform_jit = jax.jit(self._perform_impl)
 
     def fetch_closest_keyframe_idx(self, store, query_pose, query_time):
         return fetch_closest_keyframe_idx(
@@ -173,7 +178,11 @@ class LoopClosure:
 
     def perform_loop_closure(self, store: KeyframeStore, query_idx,
                              closest_idx) -> RegistrationOutput:
-        """Dispatch mirroring loop_closure.cpp:168-205."""
+        """Dispatch mirroring loop_closure.cpp:168-205 (one jit program)."""
+        return self._perform_jit(store, query_idx, closest_idx)
+
+    def _perform_impl(self, store: KeyframeStore, query_idx,
+                      closest_idx) -> RegistrationOutput:
         c = self.cfg
         no_candidate = closest_idx < 0
         safe_idx = jnp.maximum(closest_idx, 0)

@@ -47,6 +47,18 @@ class LoopEvent:
     accepted: bool
 
 
+@jax.jit
+def _feed_step(odom_delta, last_odom_pose, last_corrected, last_kf_corrected,
+               pose):
+    """One dispatch for the per-scan hot path: delta compose + realtime pose
+    + keyframe-gate distance (fast_lio_sam_qn.cpp:95-102,498-501)."""
+    delta = se3.compose(odom_delta,
+                        se3.compose(se3.pose_inverse(last_odom_pose), pose))
+    corrected = se3.compose(last_corrected, delta)
+    dist = se3.pose_distance(corrected, last_kf_corrected)
+    return delta, corrected, dist
+
+
 class FastLioSamQnPipeline:
     def __init__(self, cfg: Optional[PipelineConfig] = None):
         self.cfg = cfg or PipelineConfig()
@@ -99,12 +111,10 @@ class FastLioSamQnPipeline:
         # 1. realtime pose = last corrected * accumulated delta (:95-102).
         # Composed unconditionally like the reference (last_odom starts at
         # identity; the init branch does not reset the delta — it is reset
-        # at the first keyframe optimization, :172-178).
-        self.odom_delta = se3.compose(
-            self.odom_delta,
-            se3.compose(se3.pose_inverse(self.last_odom_pose), pose))
-        corrected_current = se3.compose(self.last_corrected_pose,
-                                        self.odom_delta)
+        # at the first keyframe optimization, :172-178). One fused dispatch.
+        self.odom_delta, corrected_current, dist = _feed_step(
+            self.odom_delta, self.last_odom_pose, self.last_corrected_pose,
+            self.last_kf_corrected, pose)
         self.last_odom_pose = pose
         self.realtime_poses.append(np.asarray(corrected_current))
 
@@ -114,9 +124,7 @@ class FastLioSamQnPipeline:
             self.initialized = True
         else:
             # 2. keyframe gate on corrected poses (:498-501)
-            dist = float(se3.pose_distance(corrected_current,
-                                           self.last_kf_corrected))
-            if dist > self.cfg.keyframe_threshold:
+            if float(dist) > self.cfg.keyframe_threshold:
                 self._add_keyframe(pose, corrected_current, cloud_body,
                                    cloud_mask, timestamp, first=False)
                 self._optimize_and_refresh()

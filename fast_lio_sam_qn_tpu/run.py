@@ -33,6 +33,20 @@ import sys
 import numpy as np
 
 
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the fused loop-closure program
+    compiles in minutes on the remote-compile tunnel; cache it across runs."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/flsq_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def run_sim(args):
     import jax.numpy as jnp
 
@@ -254,6 +268,7 @@ def main(argv=None):
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
 
+    _enable_compile_cache()
     if args.sim:
         pipe, report = run_sim(args)
     elif args.kitti:

@@ -221,7 +221,8 @@ def simulate_scan(
     hit = np.isfinite(best_t)
     rng2 = np.random.default_rng(seed + 1)
     ranges = best_t + rng2.normal(0, noise, n_points)
-    pts_l = dirs_l * ranges[:, None]
+    with np.errstate(invalid="ignore"):
+        pts_l = dirs_l * ranges[:, None]
     pts_l[~hit] = np.nan
     return pts_l.astype(np.float32), rel_t.astype(np.float32)
 
@@ -272,7 +273,8 @@ def simulate_scan_swept(
         best_t = np.where(ok & (t_hit < best_t), t_hit, best_t)
     hit = np.isfinite(best_t)
     ranges = best_t + np.random.default_rng(seed + 1).normal(0, noise, n_points)
-    pts_l = dirs_l * ranges[:, None]
+    with np.errstate(invalid="ignore"):
+        pts_l = dirs_l * ranges[:, None]
     pts_l[~hit] = np.nan
     return pts_l.astype(np.float32), rel_t.astype(np.float32)
 
