@@ -98,4 +98,10 @@ def voxel_downsample(
     compact_order = jnp.argsort(jnp.logical_not(is_head), stable=True)
     out_pts_full = head_centroids[compact_order]
     out_mask_full = is_head[compact_order]
-    return out_pts_full[:out_cap], out_mask_full[:out_cap]
+    if out_cap <= n:
+        return out_pts_full[:out_cap], out_mask_full[:out_cap]
+    pad = out_cap - n
+    return (
+        jnp.pad(out_pts_full, ((0, pad), (0, 0))),
+        jnp.pad(out_mask_full, (0, pad)),
+    )
