@@ -117,12 +117,46 @@ def fpfh(
     """Full FPFH descriptor. Returns (desc (N,33), valid (N,)).
 
     `viewpoint` (sensor/keyframe origin) orients the normals; pass it
-    whenever known — see estimate_normals."""
-    normals, n_valid = estimate_normals(points, mask, normal_radius,
-                                        k=k_normal, viewpoint=viewpoint)
+    whenever known — see estimate_normals.
+
+    One shared kNN pass (k = max(k_feat, k_normal)) feeds both the normal
+    estimation (first k_normal neighbors, radius-masked) and the SPFH
+    neighborhoods — the kNN kernel is the dominant cost and running it
+    twice over the same cloud is pure waste."""
+    from . import linalg3
+
+    k_all = max(k_feat, k_normal)
+    d2_all, idx_all, v_all = pallas_knn.knn_pallas(points, mask, points,
+                                                   mask, k_all)
+    # ---- normals from the nearest k_normal within normal_radius ----
+    if viewpoint is None:
+        viewpoint = jnp.sum(points * mask[:, None], 0) / jnp.maximum(
+            jnp.sum(mask), 1.0)
+    nd2 = d2_all[:, :k_normal]
+    nidx = jnp.clip(idx_all[:, :k_normal], 0)
+    n_in_r = v_all[:, :k_normal] & (nd2 <= normal_radius * normal_radius)
+    npts_n = points[nidx]
+    wn = n_in_r.astype(points.dtype)
+    cnt_n = jnp.sum(wn, -1)
+    mean_n = jnp.sum(npts_n * wn[..., None], -2) / jnp.maximum(
+        cnt_n, 1.0)[..., None]
+    dn = (npts_n - mean_n[..., None, :]) * wn[..., None]
+    cov = jnp.einsum("nki,nkj->nij", dn, dn, precision="highest")
+    vals, vecs = linalg3.eigh3(cov)
+    normals = vecs[..., :, 0]
+    to_view = viewpoint[None, :] - points
+    sign = jnp.where(jnp.sum(normals * to_view, -1, keepdims=True) < 0,
+                     -1.0, 1.0)
+    normals = normals * sign
+    n_valid = mask & (cnt_n >= 3)
+    normals = jnp.where(n_valid[:, None], normals, 0.0)
     m = mask & n_valid
 
-    d2, idx, v = pallas_knn.knn_pallas(points, m, points, m, k_feat)
+    d2 = d2_all[:, :k_feat]
+    idx = idx_all[:, :k_feat]
+    # neighbor validity additionally requires the NEIGHBOR to have a valid
+    # normal (the separate-kNN version searched within the m-masked set)
+    v = v_all[:, :k_feat] & n_valid[jnp.clip(idx, 0)] & m[:, None]
     idx_c = jnp.clip(idx, 0)
     in_r = v & (d2 <= feature_radius * feature_radius) & (d2 > 1e-12)
     q = points[idx_c]          # (N,K,3)
