@@ -132,12 +132,26 @@ class LoopClosure:
         # over the axon tunnel), and the reference's per-loop work is a
         # single function call too
         self._perform_jit = jax.jit(self._perform_impl)
+        # batched variant: B independent candidates in one program — the
+        # reference can only ever register ONE candidate per timer tick
+        # (fast_lio_sam_qn.cpp:205-210); batching removes that ceiling and
+        # data-parallelizes across devices when a mesh is present
+        self._perform_batch_jit = jax.jit(
+            jax.vmap(self._perform_impl, in_axes=(None, 0, 0)))
 
     def fetch_closest_keyframe_idx(self, store, query_pose, query_time):
         return fetch_closest_keyframe_idx(
             store, query_pose, query_time,
             jnp.float32(self.cfg.loop_detection_radius),
             jnp.float32(self.cfg.loop_detection_timediff_threshold))
+
+    def fetch_closest_batch(self, store, query_poses, query_times):
+        """Vmapped candidate fetch for a batch of queries (one dispatch)."""
+        return jax.vmap(
+            fetch_closest_keyframe_idx, in_axes=(None, 0, 0, None, None)
+        )(store, query_poses, query_times,
+          jnp.float32(self.cfg.loop_detection_radius),
+          jnp.float32(self.cfg.loop_detection_timediff_threshold))
 
     def icp_alignment(self, src, src_mask, dst, dst_mask, init_T=None):
         gc = self.cfg.gicp
@@ -180,6 +194,12 @@ class LoopClosure:
                              closest_idx) -> RegistrationOutput:
         """Dispatch mirroring loop_closure.cpp:168-205 (one jit program)."""
         return self._perform_jit(store, query_idx, closest_idx)
+
+    def perform_loop_closure_batch(self, store: KeyframeStore, query_idxs,
+                                   closest_idxs) -> RegistrationOutput:
+        """Batched registration of B candidates (arrays of indices; invalid
+        slots marked with closest_idx < 0). Returns batched outputs."""
+        return self._perform_batch_jit(store, query_idxs, closest_idxs)
 
     def _perform_impl(self, store: KeyframeStore, query_idx,
                       closest_idx) -> RegistrationOutput:

@@ -80,6 +80,7 @@ class FastLioSamQnPipeline:
         self.current_kf_idx = 0
         self.loop_added_flag = False
         self.latest_kf_processed = True
+        self._kf_processed: List[bool] = []  # per-keyframe (batch mode)
         self._next_loop_tick: Optional[float] = None
 
         # observability (host-side)
@@ -152,6 +153,7 @@ class FastLioSamQnPipeline:
         self.last_kf_corrected = corrected
         self.current_kf_idx += 1
         self.latest_kf_processed = False
+        self._kf_processed.append(False)
 
     def _optimize_and_refresh(self):
         # reference: isam.update x2, x5 when a loop was added (:156-165)
@@ -171,13 +173,20 @@ class FastLioSamQnPipeline:
             self.loop_added_flag = False
 
     def _loop_tick(self, tick_time: float):
-        """One loop-timer firing (:203-252)."""
+        """One loop-timer firing (:203-252). With loop_batch > 0, processes
+        up to that many PENDING keyframes in one batched registration
+        program (TPU-native extension; reference semantics are lossy)."""
         if not self.initialized or self.current_kf_idx == 0:
+            return
+        batch = self.cfg.loop.loop_batch
+        if batch > 0:
+            self._loop_tick_batched(tick_time, batch)
             return
         if self.latest_kf_processed:
             return
         self.latest_kf_processed = True
         query_idx = self.current_kf_idx - 1
+        self._kf_processed[query_idx] = True
 
         closest = self.loop_closure.fetch_closest_keyframe_idx(
             self.store, self.store.poses_corrected[query_idx],
@@ -191,17 +200,55 @@ class FastLioSamQnPipeline:
         self.loop_events.append(LoopEvent(
             tick_time, query_idx, closest_i, float(reg.score), accepted))
         if accepted:
-            # loop BetweenFactor with the reference's composition order
-            # (:224-233): pose_from = reg.pose_between * query.corrected
-            pose_from = se3.compose(
-                reg.pose_between, self.store.poses_corrected[query_idx])
-            pose_to = self.store.poses_corrected[closest_i]
-            meas = se3.pose_between(pose_from, pose_to)
-            self.graph = pgo.add_loop_factor(
-                self.graph, jnp.int32(query_idx), closest,
-                meas, reg.score)
-            self.loop_idx_pairs.append((query_idx, closest_i))
-            self.loop_added_flag = True
+            self._add_loop_factor(query_idx, closest_i, reg.pose_between,
+                                  reg.score)
+
+    def _add_loop_factor(self, query_idx, closest_i, pose_between, score):
+        # loop BetweenFactor with the reference's composition order
+        # (:224-233): pose_from = reg.pose_between * query.corrected
+        pose_from = se3.compose(
+            pose_between, self.store.poses_corrected[query_idx])
+        pose_to = self.store.poses_corrected[closest_i]
+        meas = se3.pose_between(pose_from, pose_to)
+        self.graph = pgo.add_loop_factor(
+            self.graph, jnp.int32(query_idx), jnp.int32(closest_i),
+            meas, score)
+        self.loop_idx_pairs.append((query_idx, closest_i))
+        self.loop_added_flag = True
+
+    def _loop_tick_batched(self, tick_time: float, batch: int):
+        pending = [i for i, p in enumerate(self._kf_processed) if not p]
+        pending = pending[:batch]
+        if not pending:
+            return
+        for i in pending:
+            self._kf_processed[i] = True
+        self.latest_kf_processed = self._kf_processed[-1]
+
+        qidx = np.zeros(batch, np.int32)
+        qidx[: len(pending)] = pending
+        qposes = self.store.poses_corrected[jnp.asarray(qidx)]
+        qtimes = self.store.timestamps[jnp.asarray(qidx)]
+        closest = self.loop_closure.fetch_closest_batch(
+            self.store, qposes, qtimes)
+        closest_np = np.array(closest)  # writable copy
+        closest_np[len(pending):] = -1  # pad slots: no candidate
+        if (closest_np < 0).all():
+            return
+        reg = self.loop_closure.perform_loop_closure_batch(
+            self.store, jnp.asarray(qidx), jnp.asarray(closest_np))
+        valid = np.asarray(reg.is_valid)
+        scores = np.asarray(reg.score)
+        for b in range(len(pending)):
+            ci = int(closest_np[b])
+            if ci < 0:
+                continue
+            accepted = bool(valid[b])
+            self.loop_events.append(LoopEvent(
+                tick_time, int(qidx[b]), ci, float(scores[b]), accepted))
+            if accepted:
+                self._add_loop_factor(int(qidx[b]), ci,
+                                      reg.pose_between[b], reg.score[b])
 
     # ------------------------------------------------------------------
     # vis-timer equivalents (pull-style)

@@ -26,6 +26,7 @@ def save_checkpoint(pipeline, path: str):
         "current_kf_idx": pipeline.current_kf_idx,
         "loop_added_flag": pipeline.loop_added_flag,
         "latest_kf_processed": pipeline.latest_kf_processed,
+        "kf_processed": pipeline._kf_processed,
         "next_loop_tick": pipeline._next_loop_tick,
         "loop_idx_pairs": pipeline.loop_idx_pairs,
         "kf_timestamps": pipeline.kf_timestamps,
@@ -97,6 +98,8 @@ def load_checkpoint(pipeline, path: str):
     pipeline.current_kf_idx = host["current_kf_idx"]
     pipeline.loop_added_flag = host["loop_added_flag"]
     pipeline.latest_kf_processed = host["latest_kf_processed"]
+    pipeline._kf_processed = list(host.get(
+        "kf_processed", [True] * host["current_kf_idx"]))
     pipeline._next_loop_tick = host["next_loop_tick"]
     pipeline.loop_idx_pairs = [tuple(p) for p in host["loop_idx_pairs"]]
     pipeline.kf_timestamps = host["kf_timestamps"]

@@ -71,6 +71,12 @@ class LoopClosureConfig:
     enable_submap_matching: bool = False
     loop_detection_radius: float = 35.0       # config.yaml:13 (code default 15.0)
     loop_detection_timediff_threshold: float = 30.0  # config.yaml:14 (default 10.0)
+    # TPU-native addition (0 = reference semantics): process up to N pending
+    # keyframes per loop tick as ONE batched registration program. The
+    # reference's timer only ever inspects the latest keyframe, silently
+    # skipping keyframes created between ticks (README.md:23); batching
+    # removes that lossiness without changing per-candidate behavior.
+    loop_batch: int = 0
     gicp: GicpConfig = field(default_factory=GicpConfig)
     quatro: QuatroConfig = field(default_factory=QuatroConfig)
 

@@ -148,3 +148,23 @@ def test_no_loops_without_revisit():
     assert not any(e.accepted for e in pipe.loop_events) or \
         len(pipe.loop_idx_pairs) == 0 or True  # candidates gated by timediff
     assert len(pipe.loop_idx_pairs) == 0
+
+
+def test_batched_loop_mode_not_lossy():
+    """loop_batch > 0 processes every keyframe (the reference's timer is
+    documented-lossy); results at least as many accepted loops and a sane
+    trajectory."""
+    cfg = small_config()
+    cfg.loop.loop_batch = 2
+    pipe, gt = _run_loop_trajectory(cfg, n_scans=240, seed=0)
+    # every keyframe that existed before the last tick was processed
+    assert all(pipe._kf_processed[:-1])
+    assert any(e.accepted for e in pipe.loop_events)
+    _, corrected = pipe.get_trajectories()
+    ate = evaluation.ate_rmse(corrected, gt, align=False)
+    assert ate < 0.5, ate
+    # batch mode covers at least as many queries as the lossy run
+    lossy_pipe, _ = _run_loop_trajectory(small_config(), n_scans=240, seed=0)
+    q_batch = {e.query_idx for e in pipe.loop_events}
+    q_lossy = {e.query_idx for e in lossy_pipe.loop_events}
+    assert len(q_batch) >= len(q_lossy)
