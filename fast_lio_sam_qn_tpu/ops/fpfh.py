@@ -26,7 +26,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from . import knn, pallas_knn
+from . import pallas_knn
 
 FPFH_DIM = 33
 _NBINS = 11

@@ -25,7 +25,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import hashgrid, knn, linalg3, pallas_knn, se3
+from . import hashgrid, linalg3, pallas_knn, se3
 
 # fast_gicp-style plane regularization: eigenvalues replaced by (e, 1, 1)
 PLANE_EPS = 1e-3

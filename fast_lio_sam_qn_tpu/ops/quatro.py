@@ -29,7 +29,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import knn, pallas_knn, se3
+from . import pallas_knn, se3
 
 
 class QuatroResult(NamedTuple):
