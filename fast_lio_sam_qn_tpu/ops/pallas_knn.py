@@ -59,12 +59,13 @@ def _knn_kernel(k: int, n_db: int, feat: int):
             def extract(j, c2):
                 d2c, cand_d, cand_i = c2
                 m = jnp.min(d2c, axis=1)               # (TQ,)
-                am = jnp.min(
-                    jnp.where(d2c == m[:, None], col, jnp.int32(_IBIG)),
-                    axis=1)
+                eq = d2c == m[:, None]
+                am = jnp.min(jnp.where(eq, col, jnp.int32(_IBIG)), axis=1)
                 sel = cand_col == (t * k + j)
                 cand_d = jnp.where(sel, m[:, None], cand_d)
                 cand_i = jnp.where(sel, am[:, None], cand_i)
+                # knock out by INDEX (ties by value are common in symmetric
+                # scenes; value-knockout would drop tied neighbors)
                 d2c = jnp.where(col == am[:, None], _BIG, d2c)
                 return (d2c, cand_d, cand_i)
 
@@ -77,15 +78,20 @@ def _knn_kernel(k: int, n_db: int, feat: int):
         cand_d, cand_i = jax.lax.fori_loop(
             0, n_tiles, db_tile, (cand_d0, cand_i0))
 
+        if n_tiles == 1:
+            # single tile: candidates ARE the (already-ordered) answer
+            out_d_ref[...] = cand_d
+            out_i_ref[...] = cand_i
+            return
+
         # final k-extraction over the (TQ, n_tiles*k) candidates
         out_col = jax.lax.broadcasted_iota(jnp.int32, (TQ, k), 1)
 
         def final(j, c):
             cdc, od, oi = c
             m = jnp.min(cdc, axis=1)
-            slot = jnp.min(
-                jnp.where(cdc == m[:, None], cand_col, jnp.int32(_IBIG)),
-                axis=1)
+            eq = cdc == m[:, None]
+            slot = jnp.min(jnp.where(eq, cand_col, jnp.int32(_IBIG)), axis=1)
             picked = jnp.sum(
                 jnp.where(cand_col == slot[:, None], cand_i, 0), axis=1)
             sel = out_col == j

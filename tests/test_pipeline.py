@@ -168,3 +168,27 @@ def test_batched_loop_mode_not_lossy():
     q_batch = {e.query_idx for e in pipe.loop_events}
     q_lossy = {e.query_idx for e in lossy_pipe.loop_events}
     assert len(q_batch) >= len(q_lossy)
+
+
+def test_gicp_only_mode_fast_lio_sam_n():
+    """enable_quatro=False is the FAST-LIO-SAM-N variant (BASELINE.md row 2):
+    scan-to-submap GICP-only loop closure ("empirically works better",
+    loop_closure.cpp:96-97). The pipeline must still close loops."""
+    cfg = small_config(enable_quatro=False)
+    pipe, gt = _run_loop_trajectory(cfg, n_scans=240, seed=0)
+    assert any(e.accepted for e in pipe.loop_events), pipe.loop_events
+    _, corrected = pipe.get_trajectories()
+    ate = evaluation.ate_rmse(corrected, gt, align=False)
+    assert ate < 0.5, ate
+
+
+def test_submap_matching_mode():
+    """enable_submap_matching=True: submap-to-submap coarse-to-fine
+    (loop_closure.cpp:70-86)."""
+    cfg = small_config(enable_submap_matching=True)
+    pipe, gt = _run_loop_trajectory(cfg, n_scans=240, seed=0)
+    # mode runs end-to-end; acceptance may differ from scan modes
+    assert len(pipe.loop_events) > 0
+    _, corrected = pipe.get_trajectories()
+    ate = evaluation.ate_rmse(corrected, gt, align=False)
+    assert ate < 1.0, ate
