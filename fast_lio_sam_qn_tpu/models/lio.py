@@ -87,6 +87,13 @@ class LIO:
         """Standstill init: returns (gravity_dir, gyro_bias) from raw samples."""
         return np.mean(acc, axis=0), np.mean(gyro, axis=0)
 
+    @staticmethod
+    def get_map_points(state: "LioState") -> np.ndarray:
+        """The local map as an (N, 3) array — the FAST-LIO pcd_save_en
+        equivalent (kitti.yaml:35)."""
+        occ = np.asarray(state.grid.occupied)
+        return np.asarray(state.grid.points)[occ]
+
     # ------------------------------------------------------------------
     def preprocess(self, pts: jax.Array, rel_t: jax.Array, mask: jax.Array):
         """blind cull + decimation + surf downsample, fixed output capacity."""
@@ -155,11 +162,15 @@ def _first_per_voxel(pts, rel_t, mask, res, out_cap):
     prev_coords = jnp.concatenate([coords_s[:1] + 1, coords_s[:-1]])
     is_head = ((key_s != prev_key) | jnp.any(coords_s != prev_coords, -1)) & mask_s
     compact = jnp.argsort(jnp.logical_not(is_head), stable=True)
-    return (
-        pts_s[compact][:out_cap],
-        t_s[compact][:out_cap],
-        is_head[compact][:out_cap],
-    )
+    out_pts = pts_s[compact]
+    out_t = t_s[compact]
+    out_m = is_head[compact]
+    n = pts.shape[0]
+    if out_cap <= n:
+        return out_pts[:out_cap], out_t[:out_cap], out_m[:out_cap]
+    pad = out_cap - n
+    return (jnp.pad(out_pts, ((0, pad), (0, 0))), jnp.pad(out_t, (0, pad)),
+            jnp.pad(out_m, (0, pad)))
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -135,6 +135,10 @@ class FastLioSamQnPipeline:
     # ------------------------------------------------------------------
     def _add_keyframe(self, pose, corrected, cloud, mask, timestamp, first):
         c = self.cfg
+        if self.current_kf_idx >= c.caps.max_keyframes:
+            raise RuntimeError(
+                f"keyframe capacity {c.caps.max_keyframes} exhausted; "
+                "raise Capacities.max_keyframes (fixed-shape device store)")
         # store the body cloud voxelized at matching resolution (the
         # reference stores raw and voxelizes inside setSrcAndDstCloud; the
         # matching path re-voxelizes after world transform either way)
@@ -204,6 +208,12 @@ class FastLioSamQnPipeline:
                                   reg.score)
 
     def _add_loop_factor(self, query_idx, closest_i, pose_between, score):
+        if len(self.loop_idx_pairs) >= self.cfg.caps.max_loop_factors:
+            # keep running: drop the factor, record the event only
+            import warnings
+
+            warnings.warn("loop-factor capacity exhausted; factor dropped")
+            return
         # loop BetweenFactor with the reference's composition order
         # (:224-233): pose_from = reg.pose_between * query.corrected
         pose_from = se3.compose(

@@ -145,6 +145,15 @@ def read_velodyne_bin(path: str) -> np.ndarray:
     return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
 
 
+def load_keyframe_archive(path: str):
+    """Read a result_keyframes.npz archive (the result.bag stand-in the
+    localization sibling consumes, config/config.yaml:47). Returns
+    (clouds list[(Ni,3)], poses (N,4,4), timestamps (N,))."""
+    z = np.load(path)
+    clouds = [c[m] for c, m in zip(z["clouds"], z["masks"])]
+    return clouds, z["poses"], z["timestamps"]
+
+
 # ---------------------------------------------------------------------------
 # Full result saving (saveFlagCallback equivalent)
 # ---------------------------------------------------------------------------

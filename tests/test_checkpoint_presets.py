@@ -71,3 +71,54 @@ def test_profiler():
     assert s["a"]["count"] == 2
     assert s["a"]["avg_ms"] > 5
     assert "a:" in prof.report_line()
+
+
+def test_lio_map_export_and_archive_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from fast_lio_sam_qn_tpu.models.lio import LIO
+    from fast_lio_sam_qn_tpu.ops import hashgrid
+    from fast_lio_sam_qn_tpu.utils import io, sim
+    from fast_lio_sam_qn_tpu.utils.config import LioConfig
+
+    lio = LIO(LioConfig(map_table_size=1 << 12))
+    state = lio.init_state()
+    pts = jnp.asarray(sim.World.room(seed=0).sample_points(500, seed=1))
+    state = state._replace(grid=hashgrid.insert(
+        state.grid, pts, jnp.ones(500, bool)))
+    m = LIO.get_map_points(state)
+    assert len(m) > 100 and m.shape[1] == 3
+
+    # keyframe archive round-trip
+    import sys
+    sys.path.insert(0, "tests")
+    from test_pipeline import _run_loop_trajectory, small_config
+    pipe, gt = _run_loop_trajectory(small_config(), n_scans=30, seed=5)
+    out = io.save_results(pipe, str(tmp_path))
+    import os
+    clouds, poses, ts = io.load_keyframe_archive(
+        os.path.join(out, "result_keyframes.npz"))
+    assert len(clouds) == pipe.current_kf_idx
+    np.testing.assert_allclose(
+        poses, pipe.get_corrected_keyframe_poses(), atol=1e-6)
+
+
+def test_keyframe_capacity_guard():
+    import jax.numpy as jnp
+    from fast_lio_sam_qn_tpu.models.pipeline import FastLioSamQnPipeline
+    from fast_lio_sam_qn_tpu.utils.config import Capacities, PipelineConfig
+
+    cfg = PipelineConfig()
+    cfg.caps = Capacities(max_keyframes=2, max_loop_factors=2,
+                          keyframe_points=128, src_points=128,
+                          dst_points=128)
+    pipe = FastLioSamQnPipeline(cfg)
+    cloud = jnp.zeros((128, 3))
+    mask = jnp.ones(128, bool)
+    import numpy as np
+    T = np.eye(4)
+    pipe.feed(T, cloud, mask, 0.0)
+    T2 = np.eye(4); T2[0, 3] = 5.0
+    pipe.feed(T2, cloud, mask, 0.1)
+    T3 = np.eye(4); T3[0, 3] = 10.0
+    with pytest.raises(RuntimeError, match="capacity"):
+        pipe.feed(T3, cloud, mask, 0.2)
