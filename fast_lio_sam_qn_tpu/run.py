@@ -262,6 +262,7 @@ def main(argv=None):
                    help="scans are world-frame (un-transform by pose)")
     p.add_argument("--preset", default="kitti")
     p.add_argument("--out", default=None, help="export directory")
+    p.add_argument("--plot", default=None, help="write a trajectory/map PNG")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", default=None)
     p.add_argument("--n-scans", type=int, default=None)
@@ -291,6 +292,10 @@ def main(argv=None):
 
         out_dir = save_results(pipe, args.out)
         report["exported_to"] = out_dir
+    if args.plot:
+        from .utils.viz import plot_results
+
+        report["plot"] = plot_results(pipe, args.plot)
     print(json.dumps(report, indent=2))
     return 0
 

@@ -122,3 +122,15 @@ def test_keyframe_capacity_guard():
     T3 = np.eye(4); T3[0, 3] = 10.0
     with pytest.raises(RuntimeError, match="capacity"):
         pipe.feed(T3, cloud, mask, 0.2)
+
+
+def test_plot_results(tmp_path):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_pipeline import _run_loop_trajectory, small_config
+    from fast_lio_sam_qn_tpu.utils.viz import plot_results
+
+    pipe, gt = _run_loop_trajectory(small_config(), n_scans=30, seed=6)
+    out = plot_results(pipe, str(tmp_path / "traj.png"))
+    import os
+    assert os.path.getsize(out) > 10_000  # a real image
