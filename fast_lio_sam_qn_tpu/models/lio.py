@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import hashgrid, ieskf, se3, voxel
+from ..ops import hashgrid, ieskf, se3, surfel_map, voxel
 from ..utils.config import LioConfig
 
 
@@ -71,8 +71,14 @@ class LIO:
             nav = nav._replace(grav=g.astype(jnp.float32))
         if gyro_bias is not None:
             nav = nav._replace(bg=jnp.asarray(gyro_bias, jnp.float32))
-        grid = hashgrid.empty(
-            res=self.cfg.filter_size_map, table_size=self.cfg.map_table_size)
+        if self.cfg.map_backend == "surfel":
+            grid = surfel_map.empty(
+                res=self.cfg.filter_size_map,
+                table_size=self.cfg.map_table_size)
+        else:
+            grid = hashgrid.empty(
+                res=self.cfg.filter_size_map,
+                table_size=self.cfg.map_table_size)
         return LioState(
             nav=nav,
             P=ieskf.init_covariance(),
@@ -90,9 +96,12 @@ class LIO:
     @staticmethod
     def get_map_points(state: "LioState") -> np.ndarray:
         """The local map as an (N, 3) array — the FAST-LIO pcd_save_en
-        equivalent (kitti.yaml:35)."""
+        equivalent (kitti.yaml:35). Surfel maps export voxel centroids."""
         occ = np.asarray(state.grid.occupied)
-        return np.asarray(state.grid.points)[occ]
+        if hasattr(state.grid, "points"):
+            return np.asarray(state.grid.points)[occ]
+        cnt = np.maximum(np.asarray(state.grid.count), 1.0)
+        return (np.asarray(state.grid.psum) / cnt[:, None])[occ]
 
     # ------------------------------------------------------------------
     def preprocess(self, pts: jax.Array, rel_t: jax.Array, mask: jax.Array):
@@ -130,6 +139,7 @@ class LIO:
             plane_k=self.cfg.plane_k,
             plane_threshold=self.cfg.plane_threshold,
             det_range=self.cfg.det_range,
+            map_backend=self.cfg.map_backend,
         )
 
 
@@ -175,12 +185,12 @@ def _first_per_voxel(pts, rel_t, mask, res, out_cap):
 
 @functools.partial(jax.jit, static_argnames=(
     "blind", "filter_num", "surf_res", "out_cap", "max_iter", "plane_k",
-    "plane_threshold", "det_range"))
+    "plane_threshold", "det_range", "map_backend"))
 def _process_scan(
     state: LioState, pts_l, rel_t, mask, imu_t, gyro, acc, imu_mask,
     t_start, t_end, R_li, t_li, noise, *,
     blind, filter_num, surf_res, out_cap, max_iter, plane_k,
-    plane_threshold, det_range,
+    plane_threshold, det_range, map_backend="surfel",
 ):
     pts_p, t_p, m_p = _preprocess(
         pts_l, rel_t, mask, blind=blind, filter_num=filter_num,
@@ -192,14 +202,19 @@ def _process_scan(
 
     is_first = state.num_scans == 0
 
-    def do_update(_):
-        nav2, P2, matches = ieskf.update(
-            nav1, P1, state.grid, body, m_p,
-            meas_var=jnp.float32(0.0025),
-            plane_threshold=jnp.float32(plane_threshold),
-            max_iter=max_iter, plane_k=plane_k, window=3,
-        )
-        return nav2, P2, matches
+    if map_backend == "surfel":
+        def do_update(_):
+            return ieskf.update_surfel(
+                nav1, P1, state.grid, body, m_p,
+                meas_var=jnp.float32(0.0025), max_iter=max_iter)
+    else:
+        def do_update(_):
+            return ieskf.update(
+                nav1, P1, state.grid, body, m_p,
+                meas_var=jnp.float32(0.0025),
+                plane_threshold=jnp.float32(plane_threshold),
+                max_iter=max_iter, plane_k=plane_k, window=3,
+            )
 
     def skip_update(_):
         return nav1, P1, jnp.int32(0)
@@ -208,8 +223,15 @@ def _process_scan(
 
     # map insert with the updated pose; evict far voxels to bound occupancy
     pts_w = body @ nav2.R.T + nav2.p
-    grid = hashgrid.evict_beyond(state.grid, nav2.p, jnp.float32(det_range * 1.5))
-    grid = hashgrid.insert(grid, pts_w, m_p)
+    if map_backend == "surfel":
+        grid = surfel_map.evict_beyond(state.grid, nav2.p,
+                                       jnp.float32(det_range * 1.5))
+        grid = surfel_map.insert(grid, pts_w, m_p,
+                                 thickness=jnp.float32(plane_threshold))
+    else:
+        grid = hashgrid.evict_beyond(state.grid, nav2.p,
+                                     jnp.float32(det_range * 1.5))
+        grid = hashgrid.insert(grid, pts_w, m_p)
 
     pose = se3.make_pose(nav2.R, nav2.p)
     new_state = LioState(

@@ -31,7 +31,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import hashgrid, linalg3, se3
+from . import hashgrid, linalg3, se3, surfel_map
 
 # error-state layout
 _TH, _P, _V, _BG, _BA, _G = 0, 3, 6, 9, 12, 15
@@ -297,6 +297,63 @@ def update(
         grid, pts_w, mask, plane_k, plane_threshold, window
     )
     w = valid.astype(dtype) / meas_var
+    Rtn = jnp.einsum("ji,nj->ni", s_fin.R, n, precision="highest")
+    h6 = jnp.concatenate([jnp.cross(pts_b, Rtn), n], axis=-1)
+    A6 = jnp.einsum("na,nb,n->ab", h6, h6, w, precision="highest")
+    A = jnp.zeros((STATE_DIM, STATE_DIM), dtype).at[:6, :6].set(A6)
+    P_new = jnp.linalg.inv(A + Pinv)
+    P_new = 0.5 * (P_new + P_new.T)
+    return s_fin, P_new, matches[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def update_surfel(
+    state: NavState,
+    P: jax.Array,
+    smap,                  # surfel_map.SurfelMap
+    pts_b: jax.Array,      # (N,3) deskewed scan, scan-end body frame
+    mask: jax.Array,
+    meas_var: jax.Array,
+    max_iter: int = 3,
+):
+    """Iterated point-to-plane MAP update against CACHED surfel planes
+    (ops/surfel_map.py): the per-point correspondence is one probed lookup
+    — no kNN, no per-point eigendecomposition in the hot loop.
+
+    Returns (state, P, num_matches)."""
+    dtype = P.dtype
+    Pinv = jnp.linalg.inv(P + 1e-9 * jnp.eye(STATE_DIM, dtype=dtype))
+
+    # Plane association ONCE at the propagated state with the wide window
+    # (nearest-centroid over the 27-hood, surfel_map.query_planes): wide
+    # search restores the residuals a lagging estimate needs, and holding
+    # the association fixed across GN iterations keeps its gather cost out
+    # of the iterate loop (per-scan corrections are small; the PLANES are
+    # fixed, the residual n.p_w(x)+d is still re-evaluated per iteration).
+    pts_w0 = pts_b @ state.R.T + state.p
+    n, resid0, valid = surfel_map.query_planes(smap, pts_w0, mask, window=3)
+    # recover d for the chosen planes: resid0 = n.p + d -> d = resid0 - n.p
+    d_plane = resid0 - jnp.sum(n * pts_w0, axis=-1)
+    w = valid.astype(dtype) / meas_var
+
+    def body(carry, _):
+        s, dx_acc = carry
+        pts_w = pts_b @ s.R.T + s.p
+        resid = jnp.sum(n * pts_w, axis=-1) + d_plane
+        Rtn = jnp.einsum("ji,nj->ni", s.R, n, precision="highest")
+        h6 = jnp.concatenate([jnp.cross(pts_b, Rtn), n], axis=-1)
+        A6 = jnp.einsum("na,nb,n->ab", h6, h6, w, precision="highest")
+        b6 = jnp.einsum("na,n,n->a", h6, resid, w, precision="highest")
+        A = jnp.zeros((STATE_DIM, STATE_DIM), dtype).at[:6, :6].set(A6)
+        b = jnp.zeros((STATE_DIM,), dtype).at[:6].set(b6)
+        rhs = -(b + Pinv @ dx_acc)
+        dx = jnp.linalg.solve(A + Pinv, rhs)
+        s_new = boxplus(s, dx)
+        return (s_new, dx_acc + dx), jnp.sum(valid)
+
+    (s_fin, dx_tot), matches = jax.lax.scan(
+        body, (state, jnp.zeros(STATE_DIM, dtype)), None, length=max_iter)
+    pts_w = pts_b @ s_fin.R.T + s_fin.p
     Rtn = jnp.einsum("ji,nj->ni", s_fin.R, n, precision="highest")
     h6 = jnp.concatenate([jnp.cross(pts_b, Rtn), n], axis=-1)
     A6 = jnp.einsum("na,nb,n->ab", h6, h6, w, precision="highest")

@@ -1,0 +1,269 @@
+"""Surfel voxel map — accumulated per-voxel moments with cached planes.
+
+The second-generation LIO local map (first: ops/hashgrid.py's 1-point-per-
+voxel grid). Instead of storing representative points and re-running kNN +
+plane fits per query point per IESEKF iteration, each voxel accumulates the
+FULL second-order moments (count, sum, outer-product sum) of every point
+ever inserted — pure scatter-adds, the friendliest possible op shape for
+XLA — and caches a fitted plane (normal, offset, validity) computed from
+its 3^3 neighborhood's combined moments at insert time.
+
+Queries then cost ONE probed lookup per point: gather (n, d, valid) and the
+point-to-plane residual is n.p + d. The expensive work (neighborhood moment
+gathers + batched 3x3 eigendecompositions) runs once per scan over the
+TOUCHED voxels only, instead of 3x per scan over every scan point.
+
+Accuracy note: planes fit over accumulated moments of a 1.5 x res
+neighborhood — a true surfel map (cf. VoxelMap / PV-LIO [external]) rather
+than FAST-LIO's 5-NN instantaneous fits; neighbors' cached planes go
+slightly stale until they are next touched (documented approximation; the
+map converges over scans, much like ikd-tree's amortized rebalancing).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import linalg3
+from .hashgrid import NUM_PROBES, _probe_slots, _scatter_rounds
+from .voxel import voxel_coords
+
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+class SurfelMap(NamedTuple):
+    coords: jax.Array      # (T, 3) i32 voxel coords (key verification)
+    occupied: jax.Array    # (T,) bool
+    count: jax.Array       # (T,) f32 — accumulated point count
+    psum: jax.Array        # (T, 3) f32 — sum of points
+    m2: jax.Array          # (T, 3, 3) f32 — sum of outer products
+    plane_n: jax.Array     # (T, 3) cached plane normal
+    plane_d: jax.Array     # (T,) cached plane offset (n.x + d = 0)
+    plane_valid: jax.Array  # (T,)
+    res: float             # static voxel edge
+
+    @property
+    def table_size(self) -> int:
+        return self.coords.shape[0]
+
+
+@functools.partial(jax.jit, static_argnames=("res", "table_size"))
+def empty(res: float, table_size: int) -> SurfelMap:
+    assert table_size & (table_size - 1) == 0
+    return SurfelMap(
+        coords=jnp.zeros((table_size, 3), jnp.int32),
+        occupied=jnp.zeros((table_size,), bool),
+        count=jnp.zeros((table_size,), jnp.float32),
+        psum=jnp.zeros((table_size, 3), jnp.float32),
+        m2=jnp.zeros((table_size, 3, 3), jnp.float32),
+        plane_n=jnp.zeros((table_size, 3), jnp.float32),
+        plane_d=jnp.zeros((table_size,), jnp.float32),
+        plane_valid=jnp.zeros((table_size,), bool),
+        res=res,
+    )
+
+
+def _locate(m: SurfelMap, coords: jax.Array):
+    """(..., 3) coords -> (slot (...,), found (...,)) via verified probes."""
+    slots = _probe_slots(coords, m.table_size)             # (..., P)
+    keys = m.coords[slots]                                 # (..., P, 3)
+    hit = m.occupied[slots] & jnp.all(keys == coords[..., None, :], -1)
+    first = jnp.argmax(hit, axis=-1)
+    found = jnp.any(hit, axis=-1)
+    slot = jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0]
+    return jnp.where(found, slot, 0), found
+
+
+def _neighbor_offsets():
+    import numpy as _np
+
+    r = _np.arange(-1, 2, dtype=_np.int32)
+    ox, oy, oz = _np.meshgrid(r, r, r, indexing="ij")
+    return jnp.asarray(
+        _np.stack([ox.ravel(), oy.ravel(), oz.ravel()], -1))
+
+
+@functools.partial(jax.jit, static_argnames=("min_pts",))
+def _refit_planes(m: SurfelMap, slots: jax.Array, slot_valid: jax.Array,
+                  thickness: jax.Array, min_pts: int = 6) -> SurfelMap:
+    """Recompute cached planes for the given slots from their 3^3
+    neighborhoods' combined moments."""
+    coords = m.coords[slots]                              # (S, 3)
+    ncoords = coords[:, None, :] + _neighbor_offsets()[None]  # (S, 27, 3)
+    nslot, nfound = _locate(m, ncoords)                   # (S, 27)
+    w = (nfound & slot_valid[:, None]).astype(jnp.float32)
+    cnt = jnp.sum(m.count[nslot] * w, axis=1)             # (S,)
+    psum = jnp.sum(m.psum[nslot] * w[..., None], axis=1)  # (S, 3)
+    m2 = jnp.sum(m.m2[nslot] * w[..., None, None], axis=1)  # (S, 3, 3)
+
+    def plane_from(cnt, psum, m2):
+        mean = psum / jnp.maximum(cnt, 1.0)[:, None]
+        cov = m2 / jnp.maximum(cnt, 1.0)[:, None, None] - jnp.einsum(
+            "si,sj->sij", mean, mean, precision="highest")
+        vals, vecs = linalg3.eigh3(cov)
+        n = vecs[..., :, 0]
+        d = -jnp.sum(n * mean, axis=-1)
+        thick = jnp.sqrt(jnp.maximum(vals[..., 0], 0.0))
+        return n, d, thick
+
+    # adaptive fit: prefer the voxel's OWN moments when they already form a
+    # tight plane (sharper at creases, where the 3-voxel hood mixes two
+    # surfaces); fall back to the neighborhood fit otherwise
+    cnt_o = m.count[slots]
+    n_o, d_o, th_o = plane_from(cnt_o, m.psum[slots], m.m2[slots])
+    n_h, d_h, th_h = plane_from(cnt, psum, m2)
+    # own fit requires a well-populated voxel: a handful of volume-scattered
+    # points is often accidentally planar (3*min_pts guards against that)
+    use_own = (cnt_o >= 3 * min_pts) & (th_o < thickness)
+    n = jnp.where(use_own[:, None], n_o, n_h)
+    d = jnp.where(use_own, d_o, d_h)
+    valid = slot_valid & (
+        use_own | ((cnt >= min_pts) & (th_h < thickness)))
+    # invalid rows scatter out-of-bounds and are dropped
+    safe = jnp.where(slot_valid, slots, m.table_size)
+    plane_n = m.plane_n.at[safe].set(n, mode="drop")
+    plane_d = m.plane_d.at[safe].set(d, mode="drop")
+    plane_valid = m.plane_valid.at[safe].set(valid, mode="drop")
+    return m._replace(plane_n=plane_n, plane_d=plane_d,
+                      plane_valid=plane_valid)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
+           thickness: jax.Array) -> SurfelMap:
+    """Accumulate points into voxel moments and refresh the touched voxels'
+    cached planes. One scatter-heavy program per scan."""
+    t = m.table_size
+    coords = voxel_coords(points, m.res)
+
+    # 1. locate existing voxels; claim slots for new ones
+    slot, found = _locate(m, coords)
+    present = found
+    occupied, winner0 = m.occupied, jnp.full((t + 1,), _INT_MAX, jnp.int32)
+    occupied, winner, point_slot = _scatter_rounds(
+        occupied, winner0, coords, mask, t, already_present=present)
+    winner = winner[:t]
+    newly = winner != _INT_MAX
+    widx = jnp.where(newly, winner, 0)
+    new_coords = jnp.where(newly[:, None], coords[widx], m.coords)
+
+    m = m._replace(coords=new_coords, occupied=occupied)
+
+    # points that landed in a claimed-new slot get that slot
+    slot2, found2 = _locate(m, coords)
+    use = mask & found2
+    sidx = jnp.where(use, slot2, t)  # dump row
+
+    # 2. scatter-add moments
+    w = use.astype(jnp.float32)
+    count = jnp.zeros((t + 1,), jnp.float32).at[sidx].add(w)[:t]
+    psum = jnp.zeros((t + 1, 3), jnp.float32).at[sidx].add(
+        points * w[:, None])[:t]
+    outer = jnp.einsum("ni,nj->nij", points, points, precision="highest")
+    m2 = jnp.zeros((t + 1, 3, 3), jnp.float32).at[sidx].add(
+        outer * w[:, None, None])[:t]
+    m = m._replace(count=m.count + count, psum=m.psum + psum, m2=m.m2 + m2)
+
+    # 3. refit planes of touched voxels (one slot per unique touched voxel;
+    # duplicates refit redundantly but harmlessly)
+    m = _refit_planes(m, jnp.clip(sidx, 0, t - 1), use, thickness)
+
+    # 4. halo: propagate each touched voxel's plane into its UNMAPPED face
+    # neighbors (count==0). Points from a lagging pose estimate land one
+    # voxel outside the mapped surface; without a plane there, the update
+    # never sees the residuals that would pull the estimate back (measured
+    # 2x worse drift). Halo planes cost zero extra gathers at query time
+    # and are overwritten by real fits once points arrive.
+    face = jnp.asarray(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1],
+         [0, 0, -1]], jnp.int32)
+    n_pts = points.shape[0]
+    hcoords = (coords[:, None, :] + face[None]).reshape(n_pts * 6, 3)
+    src_plane_ok = m.plane_valid[jnp.clip(sidx, 0, t - 1)] & use
+    hmask = jnp.repeat(src_plane_ok, 6)
+    _, hfound = _locate(m, hcoords)
+    occupied2, winner0 = m.occupied, jnp.full((t + 1,), _INT_MAX, jnp.int32)
+    occupied2, hwinner, _ = _scatter_rounds(
+        occupied2, winner0, hcoords, hmask, t, already_present=hfound)
+    hwinner = hwinner[:t]
+    hnew = hwinner != _INT_MAX
+    hidx = jnp.where(hnew, hwinner, 0)
+    m = m._replace(
+        coords=jnp.where(hnew[:, None], hcoords[hidx], m.coords),
+        occupied=occupied2,
+    )
+    # write source planes into halo slots that hold no real points
+    hslot, hfound2 = _locate(m, hcoords)
+    src_slot = jnp.repeat(jnp.clip(sidx, 0, t - 1), 6)
+    writable = hmask & hfound2 & (m.count[hslot] == 0.0)
+    widx2 = jnp.where(writable, hslot, t)
+    m = m._replace(
+        plane_n=m.plane_n.at[widx2].set(m.plane_n[src_slot], mode="drop"),
+        plane_d=m.plane_d.at[widx2].set(
+            # re-anchor the plane offset is unnecessary: adjacent voxels of
+            # the same surface share the (n, d) parametrization exactly
+            m.plane_d[src_slot], mode="drop"),
+        plane_valid=m.plane_valid.at[widx2].set(
+            m.plane_valid[src_slot], mode="drop"),
+    )
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def query_planes(m: SurfelMap, points: jax.Array, mask: jax.Array,
+                 window: int = 3):
+    """Per-point cached plane lookup with neighborhood fallback.
+
+    window=1: own voxel only. window=3: consider all 27 neighboring voxels'
+    cached planes and pick the one whose CENTROID is nearest (critical when
+    the pose estimate lags and points land in not-yet-mapped voxels — the
+    own-voxel-only variant silently loses exactly the residuals that would
+    pull the estimate back; measured 2x worse drift on sparse scans).
+
+    Returns (n (N,3), resid (N,), valid (N,)). resid = n.p + d."""
+    coords = voxel_coords(points, m.res)
+    if window == 1:
+        slot, found = _locate(m, coords)
+        n = m.plane_n[slot]
+        d = m.plane_d[slot]
+        valid = mask & found & m.plane_valid[slot]
+        resid = jnp.sum(n * points, axis=-1) + d
+        return (jnp.where(valid[:, None], n, 0.0),
+                jnp.where(valid, resid, 0.0), valid)
+    assert window == 3
+    ncoords = coords[:, None, :] + _neighbor_offsets()[None]   # (N, 27, 3)
+    slot, found = _locate(m, ncoords)                          # (N, 27)
+    ok = found & m.plane_valid[slot] & mask[:, None]
+    centroid = m.psum[slot] / jnp.maximum(m.count[slot], 1.0)[..., None]
+    c_d2 = jnp.sum((centroid - points[:, None, :]) ** 2, axis=-1)
+    c_d2 = jnp.where(ok, c_d2, jnp.inf)
+    j = jnp.argmin(c_d2, axis=-1)
+    rows = jnp.arange(points.shape[0])
+    best_slot = slot[rows, j]
+    valid = jnp.isfinite(c_d2[rows, j])
+    n = m.plane_n[best_slot]
+    d = m.plane_d[best_slot]
+    resid = jnp.sum(n * points, axis=-1) + d
+    return (jnp.where(valid[:, None], n, 0.0),
+            jnp.where(valid, resid, 0.0), valid)
+
+
+@jax.jit
+def evict_beyond(m: SurfelMap, center: jax.Array,
+                 radius: jax.Array) -> SurfelMap:
+    """Drop voxels beyond the moving window (zero their moments so slots
+    are reusable)."""
+    mean = m.psum / jnp.maximum(m.count, 1.0)[:, None]
+    d2 = jnp.sum((mean - center[None]) ** 2, axis=-1)
+    keep = m.occupied & (d2 <= radius * radius)
+    z = ~keep
+    return m._replace(
+        occupied=keep,
+        count=jnp.where(z, 0.0, m.count),
+        psum=jnp.where(z[:, None], 0.0, m.psum),
+        m2=jnp.where(z[:, None, None], 0.0, m.m2),
+        plane_valid=keep & m.plane_valid,
+    )

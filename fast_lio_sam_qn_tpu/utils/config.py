@@ -106,6 +106,10 @@ class LioConfig:
                           0.0, 1.0, 0.0,
                           0.0, 0.0, 1.0)      # LiDAR->IMU rotation, row-major
     gravity: float = 9.81
+    # map backend (TPU-native): "surfel" = per-voxel accumulated moments
+    # with cached planes (ops/surfel_map.py, default — cheaper queries and
+    # denser fits); "point" = 1-point-per-voxel grid (ops/hashgrid.py)
+    map_backend: str = "surfel"
     # static device capacities (TPU-native additions)
     max_points_per_scan: int = 32768          # padded scan capacity post-filter
     map_table_size: int = 1 << 19             # voxel-hash slots of local map

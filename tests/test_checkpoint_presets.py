@@ -80,12 +80,21 @@ def test_lio_map_export_and_archive_roundtrip(tmp_path):
     from fast_lio_sam_qn_tpu.utils import io, sim
     from fast_lio_sam_qn_tpu.utils.config import LioConfig
 
-    lio = LIO(LioConfig(map_table_size=1 << 12))
-    state = lio.init_state()
+    from fast_lio_sam_qn_tpu.ops import surfel_map
+
     pts = jnp.asarray(sim.World.room(seed=0).sample_points(500, seed=1))
-    state = state._replace(grid=hashgrid.insert(
-        state.grid, pts, jnp.ones(500, bool)))
-    m = LIO.get_map_points(state)
+    # both map backends export points
+    lio_s = LIO(LioConfig(map_table_size=1 << 12, map_backend="surfel"))
+    st_s = lio_s.init_state()
+    st_s = st_s._replace(grid=surfel_map.insert(
+        st_s.grid, pts, jnp.ones(500, bool), jnp.float32(0.1)))
+    m = LIO.get_map_points(st_s)
+    assert len(m) > 100 and m.shape[1] == 3
+    lio_p = LIO(LioConfig(map_table_size=1 << 12, map_backend="point"))
+    st_p = lio_p.init_state()
+    st_p = st_p._replace(grid=hashgrid.insert(
+        st_p.grid, pts, jnp.ones(500, bool)))
+    m = LIO.get_map_points(st_p)
     assert len(m) > 100 and m.shape[1] == 3
 
     # keyframe archive round-trip

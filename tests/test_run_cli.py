@@ -17,7 +17,7 @@ def kitti_style_dir(tmp_path_factory):
     world = sim.World.room(size=20.0, height=5.0, n_boxes=6, seed=2)
     traj = sim.Trajectory.straight(speed=1.0)
     period = 0.1
-    n = 20
+    n = 30
     times = []
     imu_rows = []
     # pre-motion standstill samples for gravity init
@@ -67,7 +67,7 @@ def test_run_parity_mode(kitti_style_dir, tmp_path, capsys):
     d, traj = kitti_style_dir
     # odometry file: ground-truth poses (body frame scans unchanged)
     period = 0.1
-    poses = np.stack([traj.pose((i + 1) * period) for i in range(20)])
+    poses = np.stack([traj.pose((i + 1) * period) for i in range(30)])
     pose_file = str(tmp_path / "odom.txt")
     from fast_lio_sam_qn_tpu.utils.io import save_poses_kitti
     save_poses_kitti(pose_file, poses)

@@ -1,0 +1,113 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_lio_sam_qn_tpu.ops import surfel_map
+from fast_lio_sam_qn_tpu.utils import sim
+
+
+def test_plane_recovery_on_wall():
+    """Points on z=0 get a cached plane with normal +-z and tiny residuals."""
+    rng = np.random.default_rng(0)
+    xy = rng.uniform(-3, 3, (2000, 2)).astype(np.float32)
+    pts = np.concatenate(
+        [xy, rng.normal(0, 0.01, (2000, 1)).astype(np.float32)], -1)
+    m = surfel_map.empty(res=0.5, table_size=1 << 12)
+    m = surfel_map.insert(m, jnp.asarray(pts), jnp.ones(2000, bool),
+                          thickness=jnp.float32(0.1))
+    q = jnp.asarray(pts[:200])
+    n, resid, valid = surfel_map.query_planes(m, q, jnp.ones(200, bool))
+    v = np.asarray(valid)
+    assert v.mean() > 0.9, v.mean()
+    nz = np.abs(np.asarray(n)[v][:, 2])
+    assert (nz > 0.99).all()
+    assert np.abs(np.asarray(resid)[v]).max() < 0.05
+
+
+def test_thickness_gate_rejects_volumes():
+    """A 3D blob (not a surface) must not produce valid planes."""
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-2, 2, (3000, 3)).astype(np.float32)
+    m = surfel_map.empty(res=0.5, table_size=1 << 12)
+    m = surfel_map.insert(m, jnp.asarray(pts), jnp.ones(3000, bool),
+                          thickness=jnp.float32(0.1))
+    n, resid, valid = surfel_map.query_planes(
+        m, jnp.asarray(pts[:200]), jnp.ones(200, bool))
+    assert np.asarray(valid).mean() < 0.1
+
+
+def test_moments_accumulate_across_inserts():
+    """Two half-clouds inserted separately == one insert (same moments)."""
+    rng = np.random.default_rng(2)
+    xy = rng.uniform(-1, 1, (800, 2)).astype(np.float32)
+    pts = np.concatenate([xy, np.zeros((800, 1), np.float32)], -1)
+    thick = jnp.float32(0.1)
+    m1 = surfel_map.empty(res=0.5, table_size=1 << 10)
+    m1 = surfel_map.insert(m1, jnp.asarray(pts), jnp.ones(800, bool), thick)
+    m2 = surfel_map.empty(res=0.5, table_size=1 << 10)
+    m2 = surfel_map.insert(m2, jnp.asarray(pts[:400]), jnp.ones(400, bool),
+                           thick)
+    m2 = surfel_map.insert(m2, jnp.asarray(pts[400:]), jnp.ones(400, bool),
+                           thick)
+    assert abs(float(m1.count.sum()) - float(m2.count.sum())) < 1e-3
+    np.testing.assert_allclose(
+        float(m1.psum.sum()), float(m2.psum.sum()), rtol=1e-5)
+
+
+def test_evict_beyond():
+    pts = np.array([[0.1, 0.1, 0.0], [50.0, 0.0, 0.0]], np.float32)
+    m = surfel_map.empty(res=0.5, table_size=1 << 8)
+    m = surfel_map.insert(m, jnp.asarray(pts), jnp.ones(2, bool),
+                          jnp.float32(0.1))
+    assert int(m.occupied.sum()) == 2
+    m = surfel_map.evict_beyond(m, jnp.zeros(3), jnp.float32(10.0))
+    assert int(m.occupied.sum()) == 1
+
+
+def test_lio_surfel_backend_low_drift():
+    """Full LIO with the surfel map on the simulated loop (the quality bar
+    set by the point-grid backend: <0.15 m final drift)."""
+    from fast_lio_sam_qn_tpu.models.lio import LIO
+    from fast_lio_sam_qn_tpu.ops import ieskf, se3
+    from fast_lio_sam_qn_tpu.utils.config import LioConfig
+
+    world = sim.World.room(size=24.0, height=5.0, n_boxes=8, seed=3)
+    traj = sim.Trajectory.loop(radius=7.0, period=40.0)
+    period = 0.1
+    cfg = LioConfig(
+        blind=0.5, point_filter_num=1, filter_size_surf=0.3,
+        filter_size_map=0.3, max_points_per_scan=4096,
+        map_table_size=1 << 17, det_range=60.0, max_iteration=3,
+        map_backend="surfel")
+    lio = LIO(cfg)
+    T0 = traj.pose(0.0)
+    v0, _, _ = traj.derivatives(0.0)
+    state = lio.init_state()
+    state = state._replace(nav=state.nav._replace(
+        v=jnp.asarray(T0[:3, :3].T @ v0, jnp.float32)))
+    errs = []
+    for i in range(60):
+        t0, t1 = i * period, (i + 1) * period
+        pts, rel_t = sim.simulate_scan_swept(
+            world, traj, t0, n_points=4096, noise=0.01, seed=10 + i,
+            scan_period=period)
+        ts, gyro, acc = sim.simulate_imu(
+            traj, t0, t1, rate=200.0, gyro_noise=0.002, acc_noise=0.02,
+            seed=20 + i)
+        pj, mask = sim.pad_cloud(pts, 4096)
+        it = np.zeros(32, np.float32)
+        ig = np.zeros((32, 3), np.float32)
+        ia = np.zeros((32, 3), np.float32)
+        im = np.zeros(32, bool)
+        k = len(ts)
+        it[:k], ig[:k], ia[:k], im[:k] = ts, gyro, acc, True
+        state, res = lio.process_scan(
+            state, jnp.asarray(pj), jnp.asarray(rel_t), jnp.asarray(mask),
+            jnp.asarray(it), jnp.asarray(ig), jnp.asarray(ia),
+            jnp.asarray(im), t0, t1)
+        T_gt = np.linalg.inv(T0) @ traj.pose(t1)
+        errs.append(np.linalg.norm(np.asarray(res.pose)[:3, 3] - T_gt[:3, 3]))
+    errs = np.array(errs)
+    assert errs[-1] < 0.15, errs[-5:]
+    assert errs.max() < 0.3, errs.max()
