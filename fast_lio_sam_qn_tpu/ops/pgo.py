@@ -248,15 +248,23 @@ def optimize(
         def hx(v):
             return _hx(idx_i, idx_j, Ji, Jj, w6, valid, v, n_cap) * active
 
-        # PCG for H dx = -b
+        # PCG for H dx = -b, with relative-residual early exit (warm-started
+        # solves converge in a handful of iterations; the loop is latency-
+        # bound on sequential tiny ops, so exiting early matters)
         x0 = jnp.zeros((n_cap, 6), r.dtype)
         r0 = -b * active
         z0 = precond(r0)
         p0 = z0
         rz0 = jnp.sum(r0 * z0)
+        rr0 = jnp.sum(r0 * r0)
 
-        def pcg_body(_, carry):
-            x, rr, z, p, rz = carry
+        def pcg_cond(carry):
+            _, rr_vec, _, _, _, it = carry
+            res = jnp.sum(rr_vec * rr_vec)
+            return (it < pcg_iters) & (res > 1e-10 * jnp.maximum(rr0, 1e-20))
+
+        def pcg_body(carry):
+            x, rr, z, p, rz, it = carry
             hp = hx(p)
             alpha = rz / jnp.maximum(jnp.sum(p * hp), 1e-20)
             x = x + alpha * p
@@ -265,10 +273,10 @@ def optimize(
             rz_new = jnp.sum(rr * z)
             beta = rz_new / jnp.maximum(rz, 1e-20)
             p = z + beta * p
-            return (x, rr, z, p, rz_new)
+            return (x, rr, z, p, rz_new, it + 1)
 
-        x, *_ = jax.lax.fori_loop(
-            0, pcg_iters, pcg_body, (x0, r0, z0, p0, rz0)
+        x, *_ = jax.lax.while_loop(
+            pcg_cond, pcg_body, (x0, r0, z0, p0, rz0, jnp.int32(0))
         )
         # apply right-perturbation update to active nodes
         dT = se3.se3_exp(x)
