@@ -23,7 +23,7 @@ end (models/lio.py) or from any external odometry source (parity mode).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import jax

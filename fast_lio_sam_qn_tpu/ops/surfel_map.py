@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from . import linalg3
-from .hashgrid import NUM_PROBES, _probe_slots, _scatter_rounds
+from .hashgrid import _probe_slots, _scatter_rounds
 from .voxel import voxel_coords
 
 _INT_MAX = jnp.iinfo(jnp.int32).max

@@ -17,8 +17,6 @@ import numpy as np
 
 
 def save_checkpoint(pipeline, path: str):
-    from ..models.pipeline import FastLioSamQnPipeline  # noqa: F401
-
     st = pipeline.store
     g = pipeline.graph
     host = {

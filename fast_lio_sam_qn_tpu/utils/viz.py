@@ -7,8 +7,6 @@ offline inspection and CI artifacts.
 """
 from __future__ import annotations
 
-import numpy as np
-
 
 def plot_results(pipeline, path: str, max_map_points: int = 100_000):
     """Render odom vs corrected trajectories, loop edges, and the corrected
