@@ -60,8 +60,14 @@ def _feed_step(odom_delta, last_odom_pose, last_corrected, last_kf_corrected,
 
 
 class FastLioSamQnPipeline:
-    def __init__(self, cfg: Optional[PipelineConfig] = None):
+    def __init__(self, cfg: Optional[PipelineConfig] = None, profiler=None):
+        """profiler: optional utils.profiling.Profiler; records the
+        reference's stage spans (real/key_add/opt/res per callback,
+        'loop' per timer firing — fast_lio_sam_qn.cpp:191-197,250)."""
         self.cfg = cfg or PipelineConfig()
+        from ..utils.profiling import Profiler
+
+        self.profiler = profiler or Profiler()
         c = self.cfg
         self.loop_closure = LoopClosure(
             c.loop, src_cap=c.caps.src_points, dst_cap=c.caps.dst_points)
@@ -113,11 +119,12 @@ class FastLioSamQnPipeline:
         # Composed unconditionally like the reference (last_odom starts at
         # identity; the init branch does not reset the delta — it is reset
         # at the first keyframe optimization, :172-178). One fused dispatch.
-        self.odom_delta, corrected_current, dist = _feed_step(
-            self.odom_delta, self.last_odom_pose, self.last_corrected_pose,
-            self.last_kf_corrected, pose)
-        self.last_odom_pose = pose
-        self.realtime_poses.append(np.asarray(corrected_current))
+        with self.profiler.span("real"):
+            self.odom_delta, corrected_current, dist = _feed_step(
+                self.odom_delta, self.last_odom_pose,
+                self.last_corrected_pose, self.last_kf_corrected, pose)
+            self.last_odom_pose = pose
+            self.realtime_poses.append(np.asarray(corrected_current))
 
         if not self.initialized:
             self._add_keyframe(pose, pose, cloud_body,
@@ -126,9 +133,11 @@ class FastLioSamQnPipeline:
         else:
             # 2. keyframe gate on corrected poses (:498-501)
             if float(dist) > self.cfg.keyframe_threshold:
-                self._add_keyframe(pose, corrected_current, cloud_body,
-                                   cloud_mask, timestamp, first=False)
-                self._optimize_and_refresh()
+                with self.profiler.span("key_add"):
+                    self._add_keyframe(pose, corrected_current, cloud_body,
+                                       cloud_mask, timestamp, first=False)
+                with self.profiler.span("opt"):
+                    self._optimize_and_refresh()
 
         return corrected_current
 
@@ -182,6 +191,10 @@ class FastLioSamQnPipeline:
         program (TPU-native extension; reference semantics are lossy)."""
         if not self.initialized or self.current_kf_idx == 0:
             return
+        with self.profiler.span("loop"):
+            self._loop_tick_inner(tick_time)
+
+    def _loop_tick_inner(self, tick_time: float):
         batch = self.cfg.loop.loop_batch
         if batch > 0:
             self._loop_tick_batched(tick_time, batch)

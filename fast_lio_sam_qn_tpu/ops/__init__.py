@@ -1,1 +1,14 @@
-from . import se3  # noqa: F401
+from . import (  # noqa: F401
+    fpfh,
+    gicp,
+    hashgrid,
+    ieskf,
+    knn,
+    linalg3,
+    pallas_knn,
+    pgo,
+    quatro,
+    se3,
+    surfel_map,
+    voxel,
+)
