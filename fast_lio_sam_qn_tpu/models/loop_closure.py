@@ -161,7 +161,12 @@ class LoopClosure:
             max_corr_dist=gc.max_corr_dist,
             trans_eps=gc.transformation_epsilon,
             cov_backend="brute", voxel_res=self.cfg.voxel_res)
-        valid = res.converged & (res.fitness < gc.icp_score_thr)
+        # acceptance: converged AND below the score threshold
+        # (loop_closure.cpp:129) AND not translation-degenerate (a TPU-native
+        # addition: plane-sliding registrations pass the fitness gate with
+        # confidently-wrong transforms — see GicpResult.degenerate)
+        valid = res.converged & (res.fitness < gc.icp_score_thr) & \
+            ~res.degenerate
         return res, valid
 
     def coarse_to_fine_alignment(self, src, src_mask, dst, dst_mask,

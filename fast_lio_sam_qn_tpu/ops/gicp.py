@@ -37,6 +37,7 @@ class GicpResult(NamedTuple):
     converged: jax.Array      # bool scalar
     num_iters: jax.Array      # int scalar
     num_corr: jax.Array       # int scalar: correspondences in final iter
+    degenerate: jax.Array     # bool: solution unconstrained along some dim
 
 
 @functools.partial(jax.jit, static_argnames=("k", "backend", "window"))
@@ -94,6 +95,7 @@ class _GNState(NamedTuple):
     delta: jax.Array
     done: jax.Array
     num_corr: jax.Array
+    H: jax.Array  # final normal-equation matrix (degeneracy diagnosis)
 
 
 @functools.partial(
@@ -138,14 +140,14 @@ def _gicp_iterate(
         delta = jnp.linalg.norm(xi)
         done = delta < trans_eps
         return _GNState(T_new, state.it + 1, delta, done,
-                        jnp.sum(corr).astype(jnp.int32))
+                        jnp.sum(corr).astype(jnp.int32), H)
 
     def cond(state: _GNState):
         return (state.it < max_iter) & (~state.done)
 
     st0 = _GNState(
         init_T, jnp.int32(0), jnp.float32(jnp.inf), jnp.bool_(False),
-        jnp.int32(0),
+        jnp.int32(0), jnp.eye(6, dtype=src.dtype),
     )
     st = jax.lax.while_loop(cond, body, st0)
     return st
@@ -195,6 +197,16 @@ def align(
     )
     fit = fitness_score(src, src_mask, dst, dst_mask, st.T)
     # PCL-style: converged_ true once the optimization ran; acceptance is
-    # gated by the fitness threshold upstream (loop_closure.cpp:129)
+    # gated by the fitness threshold upstream (loop_closure.cpp:129).
+    # Degeneracy: planar scenes leave translation directions unconstrained
+    # (sliding along a wall keeps point-to-plane fitness ~0, producing
+    # confidently-wrong loop measurements); flag when the translation
+    # block of the normal equations is ill-conditioned per correspondence.
+    Hvv = st.H[3:, 3:] / jnp.maximum(st.num_corr.astype(src.dtype), 1.0)
+    tvals, _ = linalg3.eigh3(Hvv[None])
+    # conservative threshold: only flag truly unconstrained directions
+    # (sparse long-range scans are legitimately anisotropic; an aggressive
+    # gate rejected nearly all true loops in stress tests)
+    degenerate = tvals[0, 0] < 1e-5 * tvals[0, 2]
     converged = st.num_corr > 0
-    return GicpResult(st.T, fit, converged, st.it, st.num_corr)
+    return GicpResult(st.T, fit, converged, st.it, st.num_corr, degenerate)

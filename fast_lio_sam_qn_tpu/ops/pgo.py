@@ -215,17 +215,36 @@ def optimize(
     odom_var: jax.Array,
     gn_iters: int = 3,
     pcg_iters: int = 64,
+    robust_delta: float = 1.0,
 ) -> GraphState:
     """Batch Gauss-Newton over all factors (relinearized every iteration).
 
     prior_var / odom_var: (6,) variance vectors, reference values
     diag(1e-4 x3, 1e-2 x3) (fast_lio_sam_qn.cpp:112,132).
+
+    robust_delta: Huber threshold (in whitened-residual units) applied to
+    LOOP factors only. Registration can converge to a confidently-wrong
+    local minimum (e.g., sliding along planar walls with excellent fitness)
+    — measured: a single such factor with sigma 0.26 m and 2.1 m error
+    visibly warps the whole graph. Huber caps its influence while leaving
+    consistent loops (small whitened residuals) untouched. Odometry/prior
+    are trusted. Set <= 0 to disable (raw reference behavior).
     """
     n_cap = graph.capacity
+    l_cap = graph.loop_i.shape[0]
     active = (jnp.arange(n_cap) < graph.num_nodes)[:, None]
 
     def gn_step(_, g: GraphState) -> GraphState:
         idx_i, idx_j, r, Ji, Jj, w6, valid = _factor_data(g, prior_var, odom_var)
+        if robust_delta > 0:
+            # Huber weights on loop-factor rows (layout: odom n_cap,
+            # loops l_cap, prior 1 — see _factor_data)
+            f_tot = r.shape[0]
+            is_loop = (jnp.arange(f_tot) >= n_cap) & (
+                jnp.arange(f_tot) < n_cap + l_cap)
+            m = jnp.sqrt(jnp.maximum(jnp.sum(r * r * w6, axis=-1), 1e-20))
+            hub = jnp.minimum(1.0, robust_delta / m)
+            w6 = jnp.where(is_loop[:, None], w6 * hub[:, None], w6)
         # gradient b = sum J^T W r ; solve H dx = -b
         wr = r * w6 * valid[:, None]
         b = jnp.zeros((n_cap, 6), r.dtype)

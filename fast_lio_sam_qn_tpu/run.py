@@ -65,9 +65,13 @@ def run_sim(args):
     lio = LIO(cfg.lio)
     prof = Profiler()
 
-    world = sim.World.room(size=26.0, height=5.0, n_boxes=10, seed=3)
-    traj = sim.Trajectory.loop(radius=7.0, period=40.0)
-    scan_hz = 5.0
+    if getattr(args, "trajectory", "loop") == "figure8":
+        world = sim.World.room(size=40.0, height=6.0, n_boxes=16, seed=3)
+        traj = sim.Trajectory.figure8(radius=12.0, period=60.0)
+    else:
+        world = sim.World.room(size=26.0, height=5.0, n_boxes=10, seed=3)
+        traj = sim.Trajectory.loop(radius=7.0, period=40.0)
+    scan_hz = getattr(args, "scan_hz", None) or 5.0
     n_scans = args.n_scans or 240
     period = 1.0 / scan_hz
 
@@ -266,6 +270,9 @@ def main(argv=None):
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", default=None)
     p.add_argument("--n-scans", type=int, default=None)
+    p.add_argument("--trajectory", default="loop",
+                   choices=["loop", "figure8"])
+    p.add_argument("--scan-hz", type=float, default=None, dest="scan_hz")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
 

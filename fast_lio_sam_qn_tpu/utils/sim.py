@@ -143,6 +143,26 @@ class Trajectory:
         return Trajectory(pos, yaw)
 
     @staticmethod
+    def figure8(radius=8.0, period=60.0, z=1.5) -> "Trajectory":
+        """A lemniscate: revisits the center crossing from two different
+        headings — loop closures with ~90-180 deg viewpoint changes."""
+        om = 2 * np.pi / period
+
+        def pos(t):
+            s, c = np.sin(om * t), np.cos(om * t)
+            denom = 1 + s * s
+            return np.array([radius * c / denom * 2,
+                             radius * s * c / denom * 2, z])
+
+        def yaw(t):
+            dt = 1e-4
+            p0, p1 = pos(t - dt), pos(t + dt)
+            v = p1 - p0
+            return np.arctan2(v[1], v[0])
+
+        return Trajectory(pos, yaw)
+
+    @staticmethod
     def straight(speed=1.5, z=1.5) -> "Trajectory":
         def pos(t):
             return np.array([speed * t, 0.0, z])
