@@ -212,6 +212,45 @@ def translation_voting(s_pts, d_pts, inliers, yaw, noise_bound: jax.Array):
     return jnp.stack([tx, ty, tz]), jnp.minimum(cx, jnp.minimum(cyc, cz))
 
 
+@functools.partial(jax.jit, static_argnames=("iters",))
+def refine_yaw_translation(s_pts, d_pts, inliers, yaw0, t0,
+                           noise_bound: jax.Array, iters: int = 4):
+    """Iterative reweighted 2D Procrustes over the clique correspondences.
+
+    GNC yaw + component voting leave ~noise_bound-scale coarse error (the
+    voting window is +-noise_bound by construction); that can drop the fine
+    GICP stage outside the correct convergence basin (measured: 0.35 m
+    coarse error -> 0.55 m local minimum vs 0.09 m from a sharp init).
+    A few truncated-least-squares Procrustes iterations over the inlier
+    pairs sharpen (yaw, t) at negligible cost. Returns (yaw, t)."""
+
+    def step(carry, _):
+        yaw, t = carry
+        cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+        Rs = jnp.stack(
+            [cy * s_pts[:, 0] - sy * s_pts[:, 1],
+             sy * s_pts[:, 0] + cy * s_pts[:, 1],
+             s_pts[:, 2]], axis=-1)
+        r = jnp.linalg.norm(Rs + t[None] - d_pts, axis=-1)
+        w = (inliers & (r < noise_bound)).astype(jnp.float32)
+        wsum = jnp.maximum(jnp.sum(w), 1e-6)
+        ms = jnp.sum(s_pts * w[:, None], 0) / wsum
+        md = jnp.sum(d_pts * w[:, None], 0) / wsum
+        sc = s_pts - ms
+        dc = d_pts - md
+        a = jnp.sum(w * (sc[:, 0] * dc[:, 0] + sc[:, 1] * dc[:, 1]))
+        b = jnp.sum(w * (sc[:, 0] * dc[:, 1] - sc[:, 1] * dc[:, 0]))
+        yaw_new = jnp.arctan2(b, a)
+        cy, sy = jnp.cos(yaw_new), jnp.sin(yaw_new)
+        Rms = jnp.stack([cy * ms[0] - sy * ms[1],
+                         sy * ms[0] + cy * ms[1], ms[2]])
+        t_new = md - Rms
+        return (yaw_new, t_new), None
+
+    (yaw, t), _ = jax.lax.scan(step, (yaw0, t0), None, length=iters)
+    return yaw, t
+
+
 @functools.partial(jax.jit, static_argnames=("max_corres", "rot_max_iter"))
 def align(
     src_pts, src_desc, src_valid, dst_pts, dst_desc, dst_valid,
@@ -232,6 +271,9 @@ def align(
         s, d, inl, noise_bound, gnc_factor, cost_diff_thr,
         max_iter=rot_max_iter)
     t, t_votes = translation_voting(s, d, inl, yaw, noise_bound)
+    # sharpen the voting-window-precision (yaw, t) with a few reweighted
+    # Procrustes iterations over the inliers (see refine_yaw_translation)
+    yaw, t = refine_yaw_translation(s, d, inl, yaw, t, noise_bound)
     R = se3.so3_exp(jnp.array([0.0, 0.0, 1.0]) * yaw)
     T = se3.make_pose(R, t)
     n_inl = jnp.sum(inl)

@@ -83,16 +83,21 @@ def run_sim(args):
 
     gt = []
     cap = cfg.lio.max_points_per_scan
+    # simulate at 4x the processing capacity: a real spinning LiDAR has
+    # hundreds-thousands of azimuth steps; the LIO preprocess voxel-
+    # downsamples to `cap` (under-sampled sweeps leave the registration
+    # landscape flat within +-0.5 m — measured)
+    raw_n = 4 * cap
     for i in range(n_scans):
         t0, t1 = i * period, (i + 1) * period
         with prof.span("sim"):
             pts, rel_t = sim.simulate_scan_swept(
-                world, traj, t0, n_points=cap, noise=0.01, seed=100 + i,
+                world, traj, t0, n_points=raw_n, noise=0.01, seed=100 + i,
                 scan_period=period)
             ts, gyro, acc = sim.simulate_imu(
                 traj, t0, t1, rate=200.0, gyro_noise=0.002, acc_noise=0.02,
                 seed=200 + i)
-            cloud, mask = sim.pad_cloud(pts, cap)
+            cloud, mask = sim.pad_cloud(pts, raw_n)
             it = np.zeros(64, np.float32)
             ig = np.zeros((64, 3), np.float32)
             ia = np.zeros((64, 3), np.float32)
