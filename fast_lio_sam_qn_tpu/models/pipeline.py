@@ -89,6 +89,9 @@ class FastLioSamQnPipeline:
         self._kf_processed: List[bool] = []  # per-keyframe (batch mode)
         self._next_loop_tick: Optional[float] = None
 
+        # consensus gating: accepted-but-uncommitted loops
+        self._pending_loops: List[dict] = []
+
         # observability (host-side)
         self.realtime_poses: List[np.ndarray] = []  # /pose_stamped stream
         self.odom_poses: List[np.ndarray] = []      # raw odometry at KFs
@@ -217,8 +220,38 @@ class FastLioSamQnPipeline:
         self.loop_events.append(LoopEvent(
             tick_time, query_idx, closest_i, float(reg.score), accepted))
         if accepted:
-            self._add_loop_factor(query_idx, closest_i, reg.pose_between,
-                                  reg.score)
+            self._consensus_commit(query_idx, closest_i, reg.pose_between,
+                                   reg.score)
+
+    def _consensus_commit(self, query_idx, closest_i, pose_between, score):
+        """Commit a registration-accepted loop only when its implied drift
+        correction agrees with another recent accepted loop (see
+        LoopClosureConfig.consensus_window). With the window set to 0 the
+        loop commits immediately (reference behavior)."""
+        w = self.cfg.loop.consensus_window
+        if w <= 0:
+            self._add_loop_factor(query_idx, closest_i, pose_between, score)
+            return
+        corr = np.asarray(pose_between)[:3, 3]
+        entry = dict(query_idx=query_idx, closest_idx=closest_i,
+                     pose_between=pose_between, score=score, corr=corr,
+                     committed=False)
+        # drop stale pendings
+        self._pending_loops = [
+            p for p in self._pending_loops
+            if query_idx - p["query_idx"] <= w]
+        tol = self.cfg.loop.consensus_tol
+        agree = [p for p in self._pending_loops
+                 if np.linalg.norm(p["corr"] - corr) < tol]
+        if agree:
+            for p in agree:
+                if not p["committed"]:
+                    self._add_loop_factor(p["query_idx"], p["closest_idx"],
+                                          p["pose_between"], p["score"])
+                    p["committed"] = True
+            self._add_loop_factor(query_idx, closest_i, pose_between, score)
+            entry["committed"] = True
+        self._pending_loops.append(entry)
 
     def _add_loop_factor(self, query_idx, closest_i, pose_between, score):
         if len(self.loop_idx_pairs) >= self.cfg.caps.max_loop_factors:
@@ -270,8 +303,8 @@ class FastLioSamQnPipeline:
             self.loop_events.append(LoopEvent(
                 tick_time, int(qidx[b]), ci, float(scores[b]), accepted))
             if accepted:
-                self._add_loop_factor(int(qidx[b]), ci,
-                                      reg.pose_between[b], reg.score[b])
+                self._consensus_commit(int(qidx[b]), ci,
+                                       reg.pose_between[b], reg.score[b])
 
     # ------------------------------------------------------------------
     # vis-timer equivalents (pull-style)

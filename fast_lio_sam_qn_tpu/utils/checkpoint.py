@@ -32,6 +32,13 @@ def save_checkpoint(pipeline, path: str):
             (e.tick_time, e.query_idx, e.closest_idx, e.score, e.accepted)
             for e in pipeline.loop_events
         ],
+        "pending_loops": [
+            {"query_idx": p["query_idx"], "closest_idx": p["closest_idx"],
+             "pose_between": np.asarray(p["pose_between"]).tolist(),
+             "score": float(p["score"]), "corr": p["corr"].tolist(),
+             "committed": p["committed"]}
+            for p in pipeline._pending_loops
+        ],
     }
     np.savez_compressed(
         path,
@@ -102,6 +109,12 @@ def load_checkpoint(pipeline, path: str):
     pipeline.loop_idx_pairs = [tuple(p) for p in host["loop_idx_pairs"]]
     pipeline.kf_timestamps = host["kf_timestamps"]
     pipeline.loop_events = [LoopEvent(*e) for e in host["loop_events"]]
+    pipeline._pending_loops = [
+        {"query_idx": p["query_idx"], "closest_idx": p["closest_idx"],
+         "pose_between": jnp.asarray(p["pose_between"], jnp.float32),
+         "score": jnp.float32(p["score"]),
+         "corr": np.asarray(p["corr"]), "committed": p["committed"]}
+        for p in host.get("pending_loops", [])]
     pipeline.last_odom_pose = jnp.asarray(z["last_odom_pose"])
     pipeline.odom_delta = jnp.asarray(z["odom_delta"])
     pipeline.last_corrected_pose = jnp.asarray(z["last_corrected_pose"])

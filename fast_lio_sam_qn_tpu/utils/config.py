@@ -77,6 +77,14 @@ class LoopClosureConfig:
     # skipping keyframes created between ticks (README.md:23); batching
     # removes that lossiness without changing per-candidate behavior.
     loop_batch: int = 0
+    # TPU-native addition: a registration-accepted loop is only COMMITTED to
+    # the graph once another accepted loop within `consensus_window`
+    # keyframes implies a drift correction within `consensus_tol` meters
+    # (drift is smooth, so true corrections cluster; isolated confidently-
+    # wrong registrations — e.g. plane-sliding minima — do not).
+    # 0 disables (raw reference behavior: commit on fitness alone).
+    consensus_window: int = 10
+    consensus_tol: float = 0.6
     gicp: GicpConfig = field(default_factory=GicpConfig)
     quatro: QuatroConfig = field(default_factory=QuatroConfig)
 
