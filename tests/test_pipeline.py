@@ -192,3 +192,32 @@ def test_submap_matching_mode():
     _, corrected = pipe.get_trajectories()
     ate = evaluation.ate_rmse(corrected, gt, align=False)
     assert ate < 1.0, ate
+
+
+def test_consensus_gate_blocks_isolated_outlier():
+    """An isolated wrong-correction loop never commits; clustered true
+    corrections do (unit-level, driving _consensus_commit directly)."""
+    import jax.numpy as jnp
+    from fast_lio_sam_qn_tpu.ops import se3 as _se3
+
+    cfg = small_config()
+    pipe = FastLioSamQnPipeline(cfg)
+    pipe.initialized = True
+    # minimal graph state so _add_loop_factor works
+    cloud = jnp.zeros((2048, 3)); mask = jnp.ones(2048, bool)
+    for i in range(6):
+        T = np.eye(4); T[0, 3] = 2.0 * i
+        pipe.feed(T, cloud, mask, 0.1 * i)
+    n0 = len(pipe.loop_idx_pairs)
+    mk = lambda t: jnp.asarray(_se3.make_pose(jnp.eye(3), jnp.asarray(t)))
+    # isolated outlier correction (2, 0, 0)
+    pipe._consensus_commit(4, 0, mk([2.0, 0.0, 0.0]), jnp.float32(0.1))
+    assert len(pipe.loop_idx_pairs) == n0  # pending, not committed
+    # two clustered true corrections (~0.3 m)
+    pipe._consensus_commit(5, 1, mk([0.30, 0.0, 0.0]), jnp.float32(0.1))
+    assert len(pipe.loop_idx_pairs) == n0  # still waiting for agreement
+    pipe._consensus_commit(5, 2, mk([0.35, 0.05, 0.0]), jnp.float32(0.1))
+    # both clustered loops commit; the outlier never does
+    assert len(pipe.loop_idx_pairs) == n0 + 2
+    committed = set(pipe.loop_idx_pairs[-2:])
+    assert (5, 1) in committed and (5, 2) in committed
