@@ -111,3 +111,39 @@ def test_native_defaults_match_effective_reference():
     assert cfg.loop.num_submap_keyframes == ref.loop.num_submap_keyframes
     assert cfg.loop.quatro.max_num_corres == ref.loop.quatro.max_num_corres
     assert cfg.loop.gicp.max_corr_dist == ref.loop.gicp.max_corr_dist
+
+
+def test_load_actual_reference_yaml():
+    """Load the real reference config file (read-only mount) end to end."""
+    import os
+
+    path = "/root/reference/fast_lio_sam_qn/config/config.yaml"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference tree not mounted")
+    cfg = load_reference_yaml(path)
+    assert cfg.loop_update_hz == 2.0
+    assert cfg.keyframe_threshold == 1.5
+    assert cfg.loop.loop_detection_radius == 35.0
+    assert cfg.loop.num_submap_keyframes == 5      # typo'd key upstream
+    assert cfg.loop.quatro.max_num_corres == 200   # typo'd key upstream
+    assert cfg.loop.quatro.rot_max_iter == 50      # typo'd key upstream
+    assert cfg.loop.enable_quatro is True
+    assert cfg.loop.quatro.noise_bound == 0.3
+    assert cfg.seq_name == "sequence"
+
+
+def test_load_actual_kitti_lio_yaml():
+    import os
+
+    path = "/root/reference/third_party/fastlio_config_launch/kitti.yaml"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference tree not mounted")
+    lio = load_lio_yaml(path)
+    assert lio.lidar_type == "velodyne"
+    assert lio.scan_line == 64
+    assert lio.blind == 2.0
+    assert lio.extrinsic_T == (0.81, -0.32, 0.8)
