@@ -222,7 +222,7 @@ def _process_scan(
     nav2, P2, matches = jax.lax.cond(is_first, skip_update, do_update, None)
 
     # map insert with the updated pose; evict far voxels to bound occupancy
-    pts_w = body @ nav2.R.T + nav2.p
+    pts_w = ieskf._ptransform(body, nav2.R, nav2.p)
     if map_backend == "surfel":
         grid = surfel_map.evict_beyond(state.grid, nav2.p,
                                        jnp.float32(det_range * 1.5))

@@ -32,24 +32,20 @@ FPFH_DIM = 33
 _NBINS = 11
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def estimate_normals(points, mask, radius: jax.Array, k: int = 32,
-                     viewpoint: jax.Array | None = None):
-    """PCA normals from <=k nearest neighbors within `radius`.
+def _normals_from_knn(points, mask, nd2, nidx, nvalid, radius, viewpoint):
+    """PCA normals from precomputed kNN, radius-masked, viewpoint-oriented.
 
-    Returns (normals (N,3) unit, valid (N,)). Normal sign is oriented toward
-    `viewpoint` (the sensor/keyframe origin — PCL convention). Orientation
-    consistency between the two matched clouds is critical: an earlier
-    orient-toward-cloud-centroid scheme flipped 24% of normals between two
-    scans of the same scene, destroying FPFH matching entirely."""
+    Shared by estimate_normals and fpfh (the orientation convention here was
+    a hard-won fix — orient-toward-cloud-centroid flipped 24% of normals
+    between two scans of the same scene — so it must live in ONE place).
+    Returns (normals (N,3), valid (N,))."""
     from . import linalg3
 
     if viewpoint is None:
         viewpoint = jnp.sum(points * mask[:, None], 0) / jnp.maximum(
             jnp.sum(mask), 1.0)
-    d2, idx, v = pallas_knn.knn_pallas(points, mask, points, mask, k)
-    in_r = v & (d2 <= radius * radius)
-    npts = points[jnp.clip(idx, 0)]
+    in_r = nvalid & (nd2 <= radius * radius)
+    npts = points[jnp.clip(nidx, 0)]
     w = in_r.astype(points.dtype)
     cnt = jnp.sum(w, -1)
     mean = jnp.sum(npts * w[..., None], -2) / jnp.maximum(cnt, 1.0)[..., None]
@@ -62,6 +58,18 @@ def estimate_normals(points, mask, radius: jax.Array, k: int = 32,
     n = n * sign
     valid = mask & (cnt >= 3)
     return jnp.where(valid[:, None], n, 0.0), valid
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def estimate_normals(points, mask, radius: jax.Array, k: int = 32,
+                     viewpoint: jax.Array | None = None):
+    """PCA normals from <=k nearest neighbors within `radius`.
+
+    Returns (normals (N,3) unit, valid (N,)). Normal sign is oriented toward
+    `viewpoint` (the sensor/keyframe origin — PCL convention); see
+    _normals_from_knn."""
+    d2, idx, v = pallas_knn.knn_pallas(points, mask, points, mask, k)
+    return _normals_from_knn(points, mask, d2, idx, v, radius, viewpoint)
 
 
 @jax.jit
@@ -123,33 +131,13 @@ def fpfh(
     estimation (first k_normal neighbors, radius-masked) and the SPFH
     neighborhoods — the kNN kernel is the dominant cost and running it
     twice over the same cloud is pure waste."""
-    from . import linalg3
-
     k_all = max(k_feat, k_normal)
     d2_all, idx_all, v_all = pallas_knn.knn_pallas(points, mask, points,
                                                    mask, k_all)
     # ---- normals from the nearest k_normal within normal_radius ----
-    if viewpoint is None:
-        viewpoint = jnp.sum(points * mask[:, None], 0) / jnp.maximum(
-            jnp.sum(mask), 1.0)
-    nd2 = d2_all[:, :k_normal]
-    nidx = jnp.clip(idx_all[:, :k_normal], 0)
-    n_in_r = v_all[:, :k_normal] & (nd2 <= normal_radius * normal_radius)
-    npts_n = points[nidx]
-    wn = n_in_r.astype(points.dtype)
-    cnt_n = jnp.sum(wn, -1)
-    mean_n = jnp.sum(npts_n * wn[..., None], -2) / jnp.maximum(
-        cnt_n, 1.0)[..., None]
-    dn = (npts_n - mean_n[..., None, :]) * wn[..., None]
-    cov = jnp.einsum("nki,nkj->nij", dn, dn, precision="highest")
-    vals, vecs = linalg3.eigh3(cov)
-    normals = vecs[..., :, 0]
-    to_view = viewpoint[None, :] - points
-    sign = jnp.where(jnp.sum(normals * to_view, -1, keepdims=True) < 0,
-                     -1.0, 1.0)
-    normals = normals * sign
-    n_valid = mask & (cnt_n >= 3)
-    normals = jnp.where(n_valid[:, None], normals, 0.0)
+    normals, n_valid = _normals_from_knn(
+        points, mask, d2_all[:, :k_normal], idx_all[:, :k_normal],
+        v_all[:, :k_normal], normal_radius, viewpoint)
     m = mask & n_valid
 
     d2 = d2_all[:, :k_feat]

@@ -109,7 +109,17 @@ def _scatter_rounds(
             jnp.where(won, idx, _INT_MAX)
         )
         occupied = occupied | newly
-        unplaced = unplaced & ~won
+        # drop same-voxel siblings of this round's winners: identical coords
+        # share the whole probe sequence, so a loser would claim the NEXT
+        # probe slot in a later round and duplicate the voxel in the table
+        # (inflating occupancy up to NUM_PROBES x and biasing kNN)
+        slot_c = jnp.clip(cand_slot, 0, table_size - 1)
+        win_at_slot = jnp.clip(bids[slot_c], 0, n - 1)
+        lost_to_sibling = (
+            unplaced & ~won & newly[slot_c]
+            & jnp.all(coords[win_at_slot] == coords, axis=-1)
+        )
+        unplaced = unplaced & ~won & ~lost_to_sibling
     return occupied, winner, point_slot
 
 

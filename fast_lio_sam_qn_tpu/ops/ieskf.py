@@ -38,6 +38,15 @@ _TH, _P, _V, _BG, _BA, _G = 0, 3, 6, 9, 12, 15
 STATE_DIM = 18
 
 
+def _ptransform(pts, R, t=None):
+    """points @ R^T (+ t) at full f32 precision — raw `@` runs bf16 passes
+    on TPU, which at 50-100 m point ranges costs 0.1-0.4 m per transform
+    (the plane_threshold scale)."""
+    out = jnp.einsum("ni,ji->nj", pts, R, precision="highest")
+    return out if t is None else out + t
+
+
+
 class NavState(NamedTuple):
     R: jax.Array      # (3,3) world<-body
     p: jax.Array      # (3,)
@@ -152,12 +161,18 @@ def propagate(
     (s_mid, P_mid, t_last), (lt, lR, lp, lv, lw) = jax.lax.scan(
         step, (state, P, t_start), (imu_t, gyro, acc, imu_mask)
     )
-    # tail: propagate from last sample to t_end with the last measurement
+    # tail: propagate from last sample to t_end with the last measurement.
+    # With NO valid samples in the scan (IMU dropout) the padding rows are
+    # zeros, which would integrate raw gravity into v/p (free fall);
+    # fall back to constant-velocity, zero-rotation propagation instead.
+    any_imu = jnp.any(imu_mask)
     last_i = jnp.maximum(jnp.sum(imu_mask.astype(jnp.int32)) - 1, 0)
     dt_tail = jnp.maximum(t_end - t_last, 0.0)
-    w_c = gyro[last_i] - s_mid.bg
-    a_c = acc[last_i] - s_mid.ba
-    a_w = jnp.matmul(s_mid.R, a_c, precision="highest") + s_mid.grav
+    w_c = jnp.where(any_imu, gyro[last_i] - s_mid.bg, 0.0)
+    a_c = jnp.where(any_imu, acc[last_i] - s_mid.ba, 0.0)
+    a_w = jnp.where(
+        any_imu,
+        jnp.matmul(s_mid.R, a_c, precision="highest") + s_mid.grav, 0.0)
     s_end = NavState(
         R=se3.compose3(s_mid.R, se3.so3_exp(w_c * dt_tail)),
         p=s_mid.p + s_mid.v * dt_tail + 0.5 * a_w * dt_tail * dt_tail,
@@ -203,9 +218,10 @@ def deskew(
     wk = jnp.where(log.valid[idx][:, None], log.w[idx], 0.0)
     R_t = jnp.matmul(Rk, se3.so3_exp(wk * dt[:, None]), precision="highest")
     p_t = pk + vk * dt[:, None]
-    p_b = points_l @ R_li.T + t_li
+    p_b = _ptransform(points_l, R_li, t_li)
     p_w = jnp.einsum("nij,nj->ni", R_t, p_b, precision="highest") + p_t
-    q = (p_w - state_end.p) @ state_end.R  # R^T x == x @ R
+    q = jnp.einsum("ni,ij->nj", p_w - state_end.p,
+                   state_end.R, precision="highest")  # R^T x
     # degenerate case (no IMU in scan): fall back to no deskew
     q = jnp.where(any_valid, q, p_b)
     return jnp.where(mask[:, None], q, 0.0)
@@ -267,7 +283,7 @@ def update(
 
     def body(carry, _):
         s, dx_acc = carry
-        pts_w = pts_b @ s.R.T + s.p
+        pts_w = _ptransform(pts_b, s.R, s.p)
         n, resid, valid = _plane_correspondences(
             grid, pts_w, mask, plane_k, plane_threshold, window
         )
@@ -292,7 +308,7 @@ def update(
         body, (state0, jnp.zeros(STATE_DIM, dtype)), None, length=max_iter
     )
     # posterior covariance of the MAP estimate
-    pts_w = pts_b @ s_fin.R.T + s_fin.p
+    pts_w = _ptransform(pts_b, s_fin.R, s_fin.p)
     n, resid, valid = _plane_correspondences(
         grid, pts_w, mask, plane_k, plane_threshold, window
     )
@@ -330,7 +346,7 @@ def update_surfel(
     # the association fixed across GN iterations keeps its gather cost out
     # of the iterate loop (per-scan corrections are small; the PLANES are
     # fixed, the residual n.p_w(x)+d is still re-evaluated per iteration).
-    pts_w0 = pts_b @ state.R.T + state.p
+    pts_w0 = _ptransform(pts_b, state.R, state.p)
     n, resid0, valid = surfel_map.query_planes(smap, pts_w0, mask, window=3)
     # recover d for the chosen planes: resid0 = n.p + d -> d = resid0 - n.p
     d_plane = resid0 - jnp.sum(n * pts_w0, axis=-1)
@@ -338,7 +354,7 @@ def update_surfel(
 
     def body(carry, _):
         s, dx_acc = carry
-        pts_w = pts_b @ s.R.T + s.p
+        pts_w = _ptransform(pts_b, s.R, s.p)
         resid = jnp.sum(n * pts_w, axis=-1) + d_plane
         Rtn = jnp.einsum("ji,nj->ni", s.R, n, precision="highest")
         h6 = jnp.concatenate([jnp.cross(pts_b, Rtn), n], axis=-1)
@@ -353,7 +369,7 @@ def update_surfel(
 
     (s_fin, dx_tot), matches = jax.lax.scan(
         body, (state, jnp.zeros(STATE_DIM, dtype)), None, length=max_iter)
-    pts_w = pts_b @ s_fin.R.T + s_fin.p
+    pts_w = _ptransform(pts_b, s_fin.R, s_fin.p)
     Rtn = jnp.einsum("ji,nj->ni", s_fin.R, n, precision="highest")
     h6 = jnp.concatenate([jnp.cross(pts_b, Rtn), n], axis=-1)
     A6 = jnp.einsum("na,nb,n->ab", h6, h6, w, precision="highest")

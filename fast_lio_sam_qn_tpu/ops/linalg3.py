@@ -76,7 +76,11 @@ def inv3(A: jax.Array) -> jax.Array:
     A21 = b * g - a * h
     A22 = a * e - b * d
     det = a * A00 + b * A10 + c * A20
-    inv_det = 1.0 / jnp.where(jnp.abs(det) < _EPS, jnp.sign(det) * _EPS + _EPS, det)
+    # clamp magnitude away from zero, preserving sign (the previous form
+    # evaluated to exactly 0 for small NEGATIVE determinants -> inf)
+    det_safe = jnp.where(det >= 0, jnp.maximum(det, _EPS),
+                         jnp.minimum(det, -_EPS))
+    inv_det = 1.0 / det_safe
     adj = jnp.stack(
         [
             jnp.stack([A00, A01, A02], axis=-1),

@@ -232,10 +232,14 @@ def refine_yaw_translation(s_pts, d_pts, inliers, yaw0, t0,
              sy * s_pts[:, 0] + cy * s_pts[:, 1],
              s_pts[:, 2]], axis=-1)
         r = jnp.linalg.norm(Rs + t[None] - d_pts, axis=-1)
-        w = (inliers & (r < noise_bound)).astype(jnp.float32)
-        wsum = jnp.maximum(jnp.sum(w), 1e-6)
-        ms = jnp.sum(s_pts * w[:, None], 0) / wsum
-        md = jnp.sum(d_pts * w[:, None], 0) / wsum
+        # widen the gate to 2x noise_bound: residuals under the coarse
+        # estimate carry voting-window error on top of measurement noise
+        w = (inliers & (r < 2.0 * noise_bound)).astype(jnp.float32)
+        wsum = jnp.sum(w)
+        enough = wsum >= 3.0
+        wsafe = jnp.maximum(wsum, 1e-6)
+        ms = jnp.sum(s_pts * w[:, None], 0) / wsafe
+        md = jnp.sum(d_pts * w[:, None], 0) / wsafe
         sc = s_pts - ms
         dc = d_pts - md
         a = jnp.sum(w * (sc[:, 0] * dc[:, 0] + sc[:, 1] * dc[:, 1]))
@@ -245,6 +249,10 @@ def refine_yaw_translation(s_pts, d_pts, inliers, yaw0, t0,
         Rms = jnp.stack([cy * ms[0] - sy * ms[1],
                          sy * ms[0] + cy * ms[1], ms[2]])
         t_new = md - Rms
+        # too few in-gate pairs: keep the previous estimate (a zero-weight
+        # Procrustes would collapse to identity and DISCARD the coarse fix)
+        yaw_new = jnp.where(enough, yaw_new, yaw)
+        t_new = jnp.where(enough, t_new, t)
         return (yaw_new, t_new), None
 
     (yaw, t), _ = jax.lax.scan(step, (yaw0, t0), None, length=iters)

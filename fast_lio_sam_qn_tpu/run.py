@@ -19,8 +19,10 @@ Modes (mirroring how the reference is driven, README.md:83-94, minus ROS):
       ("t gx gy gz ax ay az" rows) and times.txt (scan timestamps); runs the
       LIO front end + PGO.
 
-Checkpointing: --checkpoint path saves the full state at the end;
---resume path restores before running.
+Checkpointing: --checkpoint path saves the full state at the end.
+(--resume is not supported by the CLI modes, which construct their own
+pipelines per run; use the library API — utils.checkpoint.load_checkpoint —
+for mid-run resume.)
 """
 from __future__ import annotations
 
@@ -281,6 +283,9 @@ def main(argv=None):
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
 
+    if args.resume:
+        p.error("--resume is not supported by the CLI modes; use "
+                "utils.checkpoint.load_checkpoint via the library API")
     _enable_compile_cache()
     if args.sim:
         pipe, report = run_sim(args)
@@ -291,9 +296,6 @@ def main(argv=None):
     else:
         p.error("pick a mode: --sim | --kitti DIR | --scans DIR --poses F")
 
-    if args.resume:
-        raise SystemExit("--resume must be handled before the run; "
-                         "use the library API for mid-run resume")
     if args.checkpoint:
         from .utils.checkpoint import save_checkpoint
 

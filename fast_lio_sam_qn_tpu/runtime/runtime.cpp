@@ -203,17 +203,24 @@ void* flsq_loader_create(const char** paths, int n, int64_t pts_cap,
 }
 
 // Blocks until scan idx decoded; copies xyzi into out; frees the slot.
+// Re-reading a consumed index re-schedules a decode (slower but correct).
 // Returns point count or negative error.
 int64_t flsq_loader_get(void* h, int idx, float* out) {
     Loader* l = (Loader*)h;
     if (idx < 0 || idx >= (int)l->paths.size()) return -1;
     std::unique_lock<std::mutex> lk(l->mu);
     l->schedule_up_to(idx);
+    if (l->counts[idx] == -4) {  // consumed earlier: decode again
+        l->counts[idx] = -3;
+        l->work.push_back(idx);
+        l->cv_work.notify_all();
+    }
     l->cv_done.wait(lk, [&] { return l->counts[idx] >= -1; });
     int64_t n = l->counts[idx];
     if (n > 0) std::memcpy(out, l->slots[idx].data(), 4 * n * sizeof(float));
     l->slots[idx].clear();
     l->slots[idx].shrink_to_fit();
+    l->counts[idx] = -4;  // consumed sentinel (re-read triggers re-decode)
     return n;
 }
 
