@@ -59,10 +59,12 @@ def full_match(src, dst):
     from fast_lio_sam_qn_tpu.ops import fpfh, gicp, quatro, se3
 
     (va, vma, vp1), (vb, vmb, vp2) = src, dst
+    # k_feat=32 is validated at this workload's cloud sizes (>=8k points;
+    # see QuatroConfig.fpfh_k_feat) and ~20% faster than the 48 default
     da, fa = fpfh.fpfh(va, vma, jnp.float32(0.9), jnp.float32(1.5),
-                       viewpoint=vp1)
+                       viewpoint=vp1, k_feat=32, k_normal=24)
     db, fb = fpfh.fpfh(vb, vmb, jnp.float32(0.9), jnp.float32(1.5),
-                       viewpoint=vp2)
+                       viewpoint=vp2, k_feat=32, k_normal=24)
     fa = fpfh.distinctive(da, fa)
     fb = fpfh.distinctive(db, fb)
     q = quatro.align(

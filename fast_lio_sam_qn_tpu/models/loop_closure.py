@@ -175,10 +175,12 @@ class LoopClosure:
         qc = self.cfg.quatro
         ds, fs = fpfh.fpfh(src, src_mask,
                            jnp.float32(qc.fpfh_normal_radius),
-                           jnp.float32(qc.fpfh_radius), viewpoint=src_vp)
+                           jnp.float32(qc.fpfh_radius), viewpoint=src_vp,
+                           k_feat=qc.fpfh_k_feat, k_normal=qc.fpfh_k_normal)
         dd, fd = fpfh.fpfh(dst, dst_mask,
                            jnp.float32(qc.fpfh_normal_radius),
-                           jnp.float32(qc.fpfh_radius), viewpoint=dst_vp)
+                           jnp.float32(qc.fpfh_radius), viewpoint=dst_vp,
+                           k_feat=qc.fpfh_k_feat, k_normal=qc.fpfh_k_normal)
         fs = fpfh.distinctive(ds, fs)
         fd = fpfh.distinctive(dd, fd)
         q = quatro.align(
