@@ -140,6 +140,7 @@ class LIO:
             plane_threshold=self.cfg.plane_threshold,
             det_range=self.cfg.det_range,
             map_backend=self.cfg.map_backend,
+            surfel_window=self.cfg.surfel_query_window,
         )
 
 
@@ -185,12 +186,13 @@ def _first_per_voxel(pts, rel_t, mask, res, out_cap):
 
 @functools.partial(jax.jit, static_argnames=(
     "blind", "filter_num", "surf_res", "out_cap", "max_iter", "plane_k",
-    "plane_threshold", "det_range", "map_backend"))
+    "plane_threshold", "det_range", "map_backend", "surfel_window"),
+    donate_argnums=(0,))
 def _process_scan(
     state: LioState, pts_l, rel_t, mask, imu_t, gyro, acc, imu_mask,
     t_start, t_end, R_li, t_li, noise, *,
     blind, filter_num, surf_res, out_cap, max_iter, plane_k,
-    plane_threshold, det_range, map_backend="surfel",
+    plane_threshold, det_range, map_backend="surfel", surfel_window=1,
 ):
     pts_p, t_p, m_p = _preprocess(
         pts_l, rel_t, mask, blind=blind, filter_num=filter_num,
@@ -206,7 +208,8 @@ def _process_scan(
         def do_update(_):
             return ieskf.update_surfel(
                 nav1, P1, state.grid, body, m_p,
-                meas_var=jnp.float32(0.0025), max_iter=max_iter)
+                meas_var=jnp.float32(0.0025), max_iter=max_iter,
+                window=surfel_window)
     else:
         def do_update(_):
             return ieskf.update(

@@ -123,6 +123,9 @@ class LioConfig:
     # with cached planes (ops/surfel_map.py, default — cheaper queries and
     # denser fits); "point" = 1-point-per-voxel grid (ops/hashgrid.py)
     map_backend: str = "surfel"
+    surfel_query_window: int = 1              # 1 = halo-backed O(1) lookup;
+                                              # 3 = 27-hood search (slower,
+                                              # more robust to estimate lag)
     # static device capacities (TPU-native additions)
     max_points_per_scan: int = 32768          # padded scan capacity post-filter
     map_table_size: int = 1 << 19             # voxel-hash slots of local map
