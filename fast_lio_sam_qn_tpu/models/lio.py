@@ -101,7 +101,9 @@ class LIO:
         if hasattr(state.grid, "points"):
             return np.asarray(state.grid.points)[occ]
         cnt = np.maximum(np.asarray(state.grid.count), 1.0)
-        return (np.asarray(state.grid.psum) / cnt[:, None])[occ]
+        center = (np.asarray(state.grid.coords, np.float32) + 0.5) \
+            * state.grid.res
+        return (center + np.asarray(state.grid.psum) / cnt[:, None])[occ]
 
     # ------------------------------------------------------------------
     def preprocess(self, pts: jax.Array, rel_t: jax.Array, mask: jax.Array):
@@ -186,8 +188,7 @@ def _first_per_voxel(pts, rel_t, mask, res, out_cap):
 
 @functools.partial(jax.jit, static_argnames=(
     "blind", "filter_num", "surf_res", "out_cap", "max_iter", "plane_k",
-    "plane_threshold", "det_range", "map_backend", "surfel_window"),
-    donate_argnums=(0,))
+    "plane_threshold", "det_range", "map_backend", "surfel_window"))
 def _process_scan(
     state: LioState, pts_l, rel_t, mask, imu_t, gyro, acc, imu_mask,
     t_start, t_end, R_li, t_li, noise, *,

@@ -38,8 +38,8 @@ class SurfelMap(NamedTuple):
     coords: jax.Array      # (T, 3) i32 voxel coords (key verification)
     occupied: jax.Array    # (T,) bool
     count: jax.Array       # (T,) f32 — accumulated point count
-    psum: jax.Array        # (T, 3) f32 — sum of points
-    m2: jax.Array          # (T, 3, 3) f32 — sum of outer products
+    psum: jax.Array        # (T, 3) f32 — sum of (p - voxel_center)
+    m2: jax.Array          # (T, 3, 3) f32 — sum of centered outer products
     plane_n: jax.Array     # (T, 3) cached plane normal
     plane_d: jax.Array     # (T,) cached plane offset (n.x + d = 0)
     plane_valid: jax.Array  # (T,)
@@ -64,6 +64,16 @@ def empty(res: float, table_size: int) -> SurfelMap:
         plane_valid=jnp.zeros((table_size,), bool),
         res=res,
     )
+
+
+def _vox_center(coords: jax.Array, res: float) -> jax.Array:
+    """World-space center of each voxel. Moments are accumulated RELATIVE
+    to this center so every stored quantity has magnitude <= res/2: the
+    naive cov = E[ppT] - mean meanT form cancels ~|mean|^2 (~100s of m^2)
+    against itself to recover a plane variance of ~1e-3 m^2, which in f32
+    leaves platform-dependent noise bigger than the signal (TPU and CPU
+    disagreed on ~6% of fitted normals; the LIO diverged on TPU only)."""
+    return (coords.astype(jnp.float32) + 0.5) * res
 
 
 def _locate(m: SurfelMap, coords: jax.Array):
@@ -95,33 +105,53 @@ def _refit_planes(m: SurfelMap, slots: jax.Array, slot_valid: jax.Array,
     ncoords = coords[:, None, :] + _neighbor_offsets()[None]  # (S, 27, 3)
     nslot, nfound = _locate(m, ncoords)                   # (S, 27)
     w = (nfound & slot_valid[:, None]).astype(jnp.float32)
-    cnt = jnp.sum(m.count[nslot] * w, axis=1)             # (S,)
-    psum = jnp.sum(m.psum[nslot] * w[..., None], axis=1)  # (S, 3)
-    m2 = jnp.sum(m.m2[nslot] * w[..., None, None], axis=1)  # (S, 3, 3)
+    # neighbor moments are relative to THEIR center; shift to the central
+    # voxel's center (delta = offset * res, exact in f32) before combining.
+    # All magnitudes stay <= 1.5*res: no cancellation, platform-stable.
+    delta = _neighbor_offsets().astype(jnp.float32) * m.res   # (27, 3)
+    cnt_j = m.count[nslot] * w                                # (S, 27)
+    psum_j = m.psum[nslot] * w[..., None]                     # (S, 27, 3)
+    m2_j = m.m2[nslot] * w[..., None, None]                   # (S, 27, 3, 3)
+    dp = delta[None, :, :, None] * psum_j[:, :, None, :]      # d_a * p_b
+    dd = delta[:, :, None] * delta[:, None, :]                # (27, 3, 3)
+    cnt = jnp.sum(cnt_j, axis=1)                              # (S,)
+    psum = jnp.sum(psum_j + cnt_j[..., None] * delta[None], axis=1)
+    m2 = jnp.sum(
+        m2_j + dp + jnp.swapaxes(dp, -1, -2)
+        + cnt_j[..., None, None] * dd[None], axis=1)          # (S, 3, 3)
+
+    center = _vox_center(coords, m.res)                       # (S, 3)
 
     def plane_from(cnt, psum, m2):
-        mean = psum / jnp.maximum(cnt, 1.0)[:, None]
+        mean = psum / jnp.maximum(cnt, 1.0)[:, None]          # center-rel
         cov = m2 / jnp.maximum(cnt, 1.0)[:, None, None] - jnp.einsum(
             "si,sj->sij", mean, mean, precision="highest")
         vals, vecs = linalg3.eigh3(cov)
         n = vecs[..., :, 0]
-        d = -jnp.sum(n * mean, axis=-1)
+        d = -jnp.sum(n * (center + mean), axis=-1)
         thick = jnp.sqrt(jnp.maximum(vals[..., 0], 0.0))
-        return n, d, thick
+        spread = jnp.sqrt(jnp.maximum(vals[..., 1], 0.0))     # in-plane
+        return n, d, thick, spread
 
     # adaptive fit: prefer the voxel's OWN moments when they already form a
     # tight plane (sharper at creases, where the 3-voxel hood mixes two
     # surfaces); fall back to the neighborhood fit otherwise
     cnt_o = m.count[slots]
-    n_o, d_o, th_o = plane_from(cnt_o, m.psum[slots], m.m2[slots])
-    n_h, d_h, th_h = plane_from(cnt, psum, m2)
-    # own fit requires a well-populated voxel: a handful of volume-scattered
-    # points is often accidentally planar (3*min_pts guards against that)
-    use_own = (cnt_o >= 3 * min_pts) & (th_o < thickness)
+    n_o, d_o, th_o, sp_o = plane_from(cnt_o, m.psum[slots], m.m2[slots])
+    n_h, d_h, th_h, sp_h = plane_from(cnt, psum, m2)
+    # a valid plane needs BOTH a thin normal direction AND real in-plane
+    # spread: points on a line/edge have lam0 ~ lam1 ~ 0, pass any
+    # thickness gate, and get an arbitrary (platform-lottery) normal —
+    # measured: 2% of voxels, enough to diverge the IESEKF on TPU while
+    # the same run converged on CPU
+    min_spread = 0.5 * thickness
+    use_own = (cnt_o >= 3 * min_pts) & (th_o < thickness) & (
+        sp_o > min_spread)
     n = jnp.where(use_own[:, None], n_o, n_h)
     d = jnp.where(use_own, d_o, d_h)
     valid = slot_valid & (
-        use_own | ((cnt >= min_pts) & (th_h < thickness)))
+        use_own
+        | ((cnt >= min_pts) & (th_h < thickness) & (sp_h > min_spread)))
     # invalid rows scatter out-of-bounds and are dropped
     safe = jnp.where(slot_valid, slots, m.table_size)
     plane_n = m.plane_n.at[safe].set(n, mode="drop")
@@ -157,12 +187,13 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
     use = mask & found2
     sidx = jnp.where(use, slot2, t)  # dump row
 
-    # 2. scatter-add moments
+    # 2. scatter-add center-relative moments (see _vox_center for why)
     w = use.astype(jnp.float32)
+    rel = points - _vox_center(coords, m.res)
     count = jnp.zeros((t + 1,), jnp.float32).at[sidx].add(w)[:t]
     psum = jnp.zeros((t + 1, 3), jnp.float32).at[sidx].add(
-        points * w[:, None])[:t]
-    outer = jnp.einsum("ni,nj->nij", points, points, precision="highest")
+        rel * w[:, None])[:t]
+    outer = jnp.einsum("ni,nj->nij", rel, rel, precision="highest")
     m2 = jnp.zeros((t + 1, 3, 3), jnp.float32).at[sidx].add(
         outer * w[:, None, None])[:t]
     m = m._replace(count=m.count + count, psum=m.psum + psum, m2=m.m2 + m2)
@@ -195,18 +226,38 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
         coords=jnp.where(hnew[:, None], hcoords[hidx], m.coords),
         occupied=occupied2,
     )
-    # write source planes into halo slots that hold no real points
+    # write source planes into halo slots that hold no real points.
+    # Multiple sources can target the same halo slot; a plain duplicate-
+    # index scatter-set picks a platform-dependent winner (CPU and TPU
+    # disagreed on 185 halo planes -> TPU-only LIO divergence) and an
+    # arbitrary one is also wrong near creases. Pick deterministically:
+    # the source whose plane best explains the halo voxel's center.
     hslot, hfound2 = _locate(m, hcoords)
     src_slot = jnp.repeat(jnp.clip(sidx, 0, t - 1), 6)
     writable = hmask & hfound2 & (m.count[hslot] == 0.0)
     widx2 = jnp.where(writable, hslot, t)
+    hcenter = _vox_center(hcoords, m.res)
+    score = jnp.abs(
+        jnp.sum(m.plane_n[src_slot] * hcenter, axis=-1)
+        + m.plane_d[src_slot])
+    score = jnp.where(writable, score, jnp.inf)
+    best = jnp.full((t + 1,), jnp.inf, jnp.float32).at[widx2].min(
+        score, mode="drop")
+    is_best = writable & (score <= best[jnp.clip(widx2, 0, t - 1)])
+    # exact-tie break on candidate rank so every platform writes the same
+    rank = jnp.arange(score.shape[0], dtype=jnp.int32)
+    bidx = jnp.where(is_best, widx2, t)
+    best_rank = jnp.full((t + 1,), _INT_MAX, jnp.int32).at[bidx].min(
+        rank, mode="drop")
+    win = is_best & (rank == best_rank[jnp.clip(bidx, 0, t - 1)])
+    widx3 = jnp.where(win, widx2, t)
     m = m._replace(
-        plane_n=m.plane_n.at[widx2].set(m.plane_n[src_slot], mode="drop"),
-        plane_d=m.plane_d.at[widx2].set(
-            # re-anchor the plane offset is unnecessary: adjacent voxels of
-            # the same surface share the (n, d) parametrization exactly
+        plane_n=m.plane_n.at[widx3].set(m.plane_n[src_slot], mode="drop"),
+        plane_d=m.plane_d.at[widx3].set(
+            # re-anchoring the plane offset is unnecessary: adjacent voxels
+            # of the same surface share the (n, d) parametrization exactly
             m.plane_d[src_slot], mode="drop"),
-        plane_valid=m.plane_valid.at[widx2].set(
+        plane_valid=m.plane_valid.at[widx3].set(
             m.plane_valid[src_slot], mode="drop"),
     )
     return m
@@ -237,7 +288,8 @@ def query_planes(m: SurfelMap, points: jax.Array, mask: jax.Array,
     ncoords = coords[:, None, :] + _neighbor_offsets()[None]   # (N, 27, 3)
     slot, found = _locate(m, ncoords)                          # (N, 27)
     ok = found & m.plane_valid[slot] & mask[:, None]
-    centroid = m.psum[slot] / jnp.maximum(m.count[slot], 1.0)[..., None]
+    centroid = _vox_center(m.coords[slot], m.res) + (
+        m.psum[slot] / jnp.maximum(m.count[slot], 1.0)[..., None])
     c_d2 = jnp.sum((centroid - points[:, None, :]) ** 2, axis=-1)
     c_d2 = jnp.where(ok, c_d2, jnp.inf)
     j = jnp.argmin(c_d2, axis=-1)
@@ -256,7 +308,8 @@ def evict_beyond(m: SurfelMap, center: jax.Array,
                  radius: jax.Array) -> SurfelMap:
     """Drop voxels beyond the moving window (zero their moments so slots
     are reusable)."""
-    mean = m.psum / jnp.maximum(m.count, 1.0)[:, None]
+    mean = _vox_center(m.coords, m.res) + (
+        m.psum / jnp.maximum(m.count, 1.0)[:, None])
     d2 = jnp.sum((mean - center[None]) ** 2, axis=-1)
     keep = m.occupied & (d2 <= radius * radius)
     z = ~keep
