@@ -96,76 +96,106 @@ def _neighbor_offsets():
         _np.stack([ox.ravel(), oy.ravel(), oz.ravel()], -1))
 
 
-@functools.partial(jax.jit, static_argnames=("min_pts",))
+def _plane_from(cnt, psum, m2, center):
+    """Fit (n, d, thickness, spread) from center-relative moments.
+
+    Moments MUST be relative to `center` (see _vox_center): the covariance
+    subtraction is then between ~res-sized quantities, platform-stable in
+    f32. `spread` = sqrt(mid eigenvalue) — a valid plane needs BOTH a thin
+    normal direction AND real in-plane spread: points on a line/edge have
+    lam0 ~ lam1 ~ 0, pass any thickness gate, and get an arbitrary
+    (platform-lottery) normal — measured: 2% of voxels, enough to diverge
+    the IESEKF on TPU while the same run converged on CPU."""
+    mean = psum / jnp.maximum(cnt, 1.0)[:, None]          # center-rel
+    cov = m2 / jnp.maximum(cnt, 1.0)[:, None, None] - jnp.einsum(
+        "si,sj->sij", mean, mean, precision="highest")
+    vals, vecs = linalg3.eigh3(cov)
+    n = vecs[..., :, 0]
+    d = -jnp.sum(n * (center + mean), axis=-1)
+    thick = jnp.sqrt(jnp.maximum(vals[..., 0], 0.0))
+    spread = jnp.sqrt(jnp.maximum(vals[..., 1], 0.0))     # in-plane
+    return n, d, thick, spread
+
+
+@functools.partial(jax.jit, static_argnames=("min_pts", "hood_cap"))
 def _refit_planes(m: SurfelMap, slots: jax.Array, slot_valid: jax.Array,
-                  thickness: jax.Array, min_pts: int = 6) -> SurfelMap:
-    """Recompute cached planes for the given slots from their 3^3
-    neighborhoods' combined moments."""
-    coords = m.coords[slots]                              # (S, 3)
-    ncoords = coords[:, None, :] + _neighbor_offsets()[None]  # (S, 27, 3)
-    nslot, nfound = _locate(m, ncoords)                   # (S, 27)
-    w = (nfound & slot_valid[:, None]).astype(jnp.float32)
+                  thickness: jax.Array, min_pts: int = 6,
+                  hood_cap: int | None = None) -> SurfelMap:
+    """Recompute cached planes for the given slots.
+
+    Two-phase adaptive fit:
+    1. OWN-moments fit for every slot (cheap: only the slot's own fields) —
+       preferred when the voxel is well-populated and tight (sharper at
+       creases, where the 3-voxel hood mixes two surfaces; a handful of
+       volume-scattered points is often accidentally planar, hence the
+       3*min_pts population gate);
+    2. 3^3-neighborhood-moments fit ONLY for the slots whose own fit did
+       not qualify, compacted to a static `hood_cap` — the hood gathers
+       (27 voxels x NUM_PROBES probes x 13 floats per slot) dominate insert
+       cost at production scan sizes. Immature slots beyond the cap keep
+       their previous plane until next touched (amortized refresh, akin to
+       ikd-tree's deferred rebalancing).
+    hood_cap=None processes all slots through the hood path (exact)."""
+    s_rows = slots.shape[0]
+    min_spread = 0.5 * thickness
+    cnt_o = m.count[slots]
+    center_o = _vox_center(m.coords[slots], m.res)
+    n_o, d_o, th_o, sp_o = _plane_from(
+        cnt_o, m.psum[slots], m.m2[slots], center_o)
+    use_own = (cnt_o >= 3 * min_pts) & (th_o < thickness) & (
+        sp_o > min_spread)
+
+    # phase 1: scatter own-fit planes
+    own_rows = slot_valid & use_own
+    safe_o = jnp.where(own_rows, slots, m.table_size)
+    plane_n = m.plane_n.at[safe_o].set(n_o, mode="drop")
+    plane_d = m.plane_d.at[safe_o].set(d_o, mode="drop")
+    plane_valid = m.plane_valid.at[safe_o].set(own_rows, mode="drop")
+
+    # phase 2: hood fit for the rest (compacted when capped)
+    need_hood = slot_valid & ~use_own
+    if hood_cap is not None and hood_cap < s_rows:
+        order = jnp.argsort(jnp.logical_not(need_hood), stable=True)
+        h_slots = slots[order][:hood_cap]
+        h_valid = need_hood[order][:hood_cap]
+    else:
+        h_slots = slots
+        h_valid = need_hood
+    coords = m.coords[h_slots]
+    ncoords = coords[:, None, :] + _neighbor_offsets()[None]  # (H, 27, 3)
+    nslot, nfound = _locate(m, ncoords)
+    w = (nfound & h_valid[:, None]).astype(jnp.float32)
     # neighbor moments are relative to THEIR center; shift to the central
     # voxel's center (delta = offset * res, exact in f32) before combining.
     # All magnitudes stay <= 1.5*res: no cancellation, platform-stable.
     delta = _neighbor_offsets().astype(jnp.float32) * m.res   # (27, 3)
-    cnt_j = m.count[nslot] * w                                # (S, 27)
-    psum_j = m.psum[nslot] * w[..., None]                     # (S, 27, 3)
-    m2_j = m.m2[nslot] * w[..., None, None]                   # (S, 27, 3, 3)
+    cnt_j = m.count[nslot] * w                                # (H, 27)
+    psum_j = m.psum[nslot] * w[..., None]                     # (H, 27, 3)
+    m2_j = m.m2[nslot] * w[..., None, None]                   # (H, 27, 3, 3)
     dp = delta[None, :, :, None] * psum_j[:, :, None, :]      # d_a * p_b
     dd = delta[:, :, None] * delta[:, None, :]                # (27, 3, 3)
-    cnt = jnp.sum(cnt_j, axis=1)                              # (S,)
+    cnt = jnp.sum(cnt_j, axis=1)                              # (H,)
     psum = jnp.sum(psum_j + cnt_j[..., None] * delta[None], axis=1)
     m2 = jnp.sum(
         m2_j + dp + jnp.swapaxes(dp, -1, -2)
-        + cnt_j[..., None, None] * dd[None], axis=1)          # (S, 3, 3)
-
-    center = _vox_center(coords, m.res)                       # (S, 3)
-
-    def plane_from(cnt, psum, m2):
-        mean = psum / jnp.maximum(cnt, 1.0)[:, None]          # center-rel
-        cov = m2 / jnp.maximum(cnt, 1.0)[:, None, None] - jnp.einsum(
-            "si,sj->sij", mean, mean, precision="highest")
-        vals, vecs = linalg3.eigh3(cov)
-        n = vecs[..., :, 0]
-        d = -jnp.sum(n * (center + mean), axis=-1)
-        thick = jnp.sqrt(jnp.maximum(vals[..., 0], 0.0))
-        spread = jnp.sqrt(jnp.maximum(vals[..., 1], 0.0))     # in-plane
-        return n, d, thick, spread
-
-    # adaptive fit: prefer the voxel's OWN moments when they already form a
-    # tight plane (sharper at creases, where the 3-voxel hood mixes two
-    # surfaces); fall back to the neighborhood fit otherwise
-    cnt_o = m.count[slots]
-    n_o, d_o, th_o, sp_o = plane_from(cnt_o, m.psum[slots], m.m2[slots])
-    n_h, d_h, th_h, sp_h = plane_from(cnt, psum, m2)
-    # a valid plane needs BOTH a thin normal direction AND real in-plane
-    # spread: points on a line/edge have lam0 ~ lam1 ~ 0, pass any
-    # thickness gate, and get an arbitrary (platform-lottery) normal —
-    # measured: 2% of voxels, enough to diverge the IESEKF on TPU while
-    # the same run converged on CPU
-    min_spread = 0.5 * thickness
-    use_own = (cnt_o >= 3 * min_pts) & (th_o < thickness) & (
-        sp_o > min_spread)
-    n = jnp.where(use_own[:, None], n_o, n_h)
-    d = jnp.where(use_own, d_o, d_h)
-    valid = slot_valid & (
-        use_own
-        | ((cnt >= min_pts) & (th_h < thickness) & (sp_h > min_spread)))
-    # invalid rows scatter out-of-bounds and are dropped
-    safe = jnp.where(slot_valid, slots, m.table_size)
-    plane_n = m.plane_n.at[safe].set(n, mode="drop")
-    plane_d = m.plane_d.at[safe].set(d, mode="drop")
-    plane_valid = m.plane_valid.at[safe].set(valid, mode="drop")
+        + cnt_j[..., None, None] * dd[None], axis=1)          # (H, 3, 3)
+    center_h = _vox_center(coords, m.res)
+    n_h, d_h, th_h, sp_h = _plane_from(cnt, psum, m2, center_h)
+    h_ok = (cnt >= min_pts) & (th_h < thickness) & (sp_h > min_spread)
+    safe_h = jnp.where(h_valid, h_slots, m.table_size)
+    plane_n = plane_n.at[safe_h].set(n_h, mode="drop")
+    plane_d = plane_d.at[safe_h].set(d_h, mode="drop")
+    plane_valid = plane_valid.at[safe_h].set(h_valid & h_ok, mode="drop")
     return m._replace(plane_n=plane_n, plane_d=plane_d,
                       plane_valid=plane_valid)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("hood_cap",))
 def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
-           thickness: jax.Array) -> SurfelMap:
+           thickness: jax.Array, hood_cap: int | None = None) -> SurfelMap:
     """Accumulate points into voxel moments and refresh the touched voxels'
-    cached planes. One scatter-heavy program per scan."""
+    cached planes. One scatter-heavy program per scan. hood_cap bounds the
+    expensive neighborhood-refit list (see _refit_planes)."""
     t = m.table_size
     coords = voxel_coords(points, m.res)
 
@@ -200,7 +230,8 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
 
     # 3. refit planes of touched voxels (one slot per unique touched voxel;
     # duplicates refit redundantly but harmlessly)
-    m = _refit_planes(m, jnp.clip(sidx, 0, t - 1), use, thickness)
+    m = _refit_planes(m, jnp.clip(sidx, 0, t - 1), use, thickness,
+                      hood_cap=hood_cap)
 
     # 4. halo: propagate each touched voxel's plane into its UNMAPPED face
     # neighbors (count==0). Points from a lagging pose estimate land one
@@ -212,8 +243,20 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
         [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1],
          [0, 0, -1]], jnp.int32)
     n_pts = points.shape[0]
-    hcoords = (coords[:, None, :] + face[None]).reshape(n_pts * 6, 3)
+    # compact halo sources to a static cap: existing voxels acquired their
+    # halos when first mapped, so steady-state new halo work per scan is
+    # small and the 6x fan-out need not cover every scan point
     src_plane_ok = m.plane_valid[jnp.clip(sidx, 0, t - 1)] & use
+    halo_cap = min(n_pts, (hood_cap or n_pts))
+    if halo_cap < n_pts:
+        horder = jnp.argsort(jnp.logical_not(src_plane_ok), stable=True)
+        h_src_coords = coords[horder][:halo_cap]
+        h_src_sidx = sidx[horder][:halo_cap]
+        src_plane_ok = src_plane_ok[horder][:halo_cap]
+    else:
+        h_src_coords = coords
+        h_src_sidx = sidx
+    hcoords = (h_src_coords[:, None, :] + face[None]).reshape(halo_cap * 6, 3)
     hmask = jnp.repeat(src_plane_ok, 6)
     _, hfound = _locate(m, hcoords)
     occupied2, winner0 = m.occupied, jnp.full((t + 1,), _INT_MAX, jnp.int32)
@@ -233,7 +276,7 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
     # arbitrary one is also wrong near creases. Pick deterministically:
     # the source whose plane best explains the halo voxel's center.
     hslot, hfound2 = _locate(m, hcoords)
-    src_slot = jnp.repeat(jnp.clip(sidx, 0, t - 1), 6)
+    src_slot = jnp.repeat(jnp.clip(h_src_sidx, 0, t - 1), 6)
     writable = hmask & hfound2 & (m.count[hslot] == 0.0)
     widx2 = jnp.where(writable, hslot, t)
     hcenter = _vox_center(hcoords, m.res)

@@ -126,6 +126,9 @@ class LioConfig:
     surfel_query_window: int = 1              # 1 = halo-backed O(1) lookup;
                                               # 3 = 27-hood search (slower,
                                               # more robust to estimate lag)
+    surfel_hood_cap: int = 8192               # max neighborhood-refits per
+                                              # scan (insert cost bound;
+                                              # 0/None = unbounded)
     # static device capacities (TPU-native additions)
     max_points_per_scan: int = 32768          # padded scan capacity post-filter
     map_table_size: int = 1 << 19             # voxel-hash slots of local map
