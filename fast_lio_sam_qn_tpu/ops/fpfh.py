@@ -112,7 +112,8 @@ def _hist11(vals, lo, hi, w):
     return jnp.sum(onehot * w[..., None], axis=-2)
 
 
-@functools.partial(jax.jit, static_argnames=("k_feat", "k_normal"))
+@functools.partial(jax.jit, static_argnames=("k_feat", "k_normal",
+                                              "return_knn"))
 def fpfh(
     points: jax.Array,
     mask: jax.Array,
@@ -121,8 +122,13 @@ def fpfh(
     k_feat: int = 48,
     k_normal: int = 32,
     viewpoint: jax.Array | None = None,
+    return_knn: bool = False,
 ):
-    """Full FPFH descriptor. Returns (desc (N,33), valid (N,)).
+    """Full FPFH descriptor. Returns (desc (N,33), valid (N,)); with
+    return_knn=True additionally the shared kNN triplet (d2, idx, valid)
+    of shape (N, max(k_feat, k_normal)) so callers can reuse it (GICP
+    plane covariances need the same neighbor sets — kNN indices are
+    invariant under the rigid transforms between the stages).
 
     `viewpoint` (sensor/keyframe origin) orients the normals; pass it
     whenever known — see estimate_normals.
@@ -177,4 +183,7 @@ def fpfh(
             jnp.sum(blk, -1, keepdims=True), 1e-9))
     desc = jnp.concatenate(out, axis=-1)
     valid = m & (jnp.sum(w, -1) >= 3)
-    return jnp.where(valid[:, None], desc, 0.0), valid
+    desc = jnp.where(valid[:, None], desc, 0.0)
+    if return_knn:
+        return desc, valid, (d2_all, idx_all, v_all)
+    return desc, valid

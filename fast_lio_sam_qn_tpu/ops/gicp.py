@@ -40,6 +40,34 @@ class GicpResult(NamedTuple):
     degenerate: jax.Array     # bool: solution unconstrained along some dim
 
 
+@jax.jit
+def plane_covariances_from_knn(points, mask, nn_pts, nn_valid):
+    """Plane covariances given precomputed kNN neighbor points.
+
+    Lets callers reuse one kNN pass across stages (e.g. FPFH's shared kNN —
+    neighbor indices are invariant under rigid transforms, so covariances
+    for a transformed cloud are R C R^T of these).  nn_pts (N,K,3),
+    nn_valid (N,K).  Returns (covs (N,3,3), valid (N,))."""
+    w = nn_valid.astype(points.dtype)
+    cnt = jnp.sum(w, axis=-1)
+    mean = jnp.sum(nn_pts * w[..., None], axis=-2) / jnp.maximum(
+        cnt, 1.0)[..., None]
+    d = (nn_pts - mean[..., None, :]) * w[..., None]
+    cov = jnp.einsum("nki,nkj->nij", d, d, precision="highest") / jnp.maximum(
+        cnt, 1.0
+    )[..., None, None]
+    valid = mask & (cnt >= 3)
+    # regularize: C <- V diag(eps,1,1) V^T (ascending eigvals)
+    vals, vecs = linalg3.eigh3(cov)
+    reg = jnp.array([PLANE_EPS, 1.0, 1.0], dtype=points.dtype)
+    cov_reg = jnp.einsum(
+        "nij,j,nkj->nik", vecs, reg, vecs, precision="highest"
+    )
+    eye = jnp.eye(3, dtype=points.dtype)
+    cov_reg = jnp.where(valid[:, None, None], cov_reg, eye)
+    return cov_reg, valid
+
+
 @functools.partial(jax.jit, static_argnames=("k", "backend", "window"))
 def plane_covariances(
     points: jax.Array,
@@ -70,23 +98,7 @@ def plane_covariances(
     else:
         nn_d2, nn_idx, nn_valid = pallas_knn.knn_pallas(points, mask, points, mask, k)
         nn_pts = points[jnp.clip(nn_idx, 0)]
-    w = nn_valid.astype(points.dtype)
-    cnt = jnp.sum(w, axis=-1)
-    mean = jnp.sum(nn_pts * w[..., None], axis=-2) / jnp.maximum(cnt, 1.0)[..., None]
-    d = (nn_pts - mean[..., None, :]) * w[..., None]
-    cov = jnp.einsum("nki,nkj->nij", d, d, precision="highest") / jnp.maximum(
-        cnt, 1.0
-    )[..., None, None]
-    valid = mask & (cnt >= 3)
-    # regularize: C <- V diag(eps,1,1) V^T (ascending eigvals)
-    vals, vecs = linalg3.eigh3(cov)
-    reg = jnp.array([PLANE_EPS, 1.0, 1.0], dtype=points.dtype)
-    cov_reg = jnp.einsum(
-        "nij,j,nkj->nik", vecs, reg, vecs, precision="highest"
-    )
-    eye = jnp.eye(3, dtype=points.dtype)
-    cov_reg = jnp.where(valid[:, None, None], cov_reg, eye)
-    return cov_reg, valid
+    return plane_covariances_from_knn(points, mask, nn_pts, nn_valid)
 
 
 class _GNState(NamedTuple):
@@ -176,21 +188,31 @@ def align(
     trans_eps: float = 0.01,
     cov_backend: str = "grid",
     voxel_res: float = 0.3,
+    src_cov: tuple[jax.Array, jax.Array] | None = None,
+    dst_cov: tuple[jax.Array, jax.Array] | None = None,
 ) -> GicpResult:
     """Full Nano-GICP-equivalent alignment: covariances + GN + fitness.
 
     Defaults mirror the reference's effective config: k=15, max_iter=32,
     max_corr_dist = loop_detection_radius*1.5 = 52.5 (fast_lio_sam_qn.cpp:24),
     transformation_epsilon = 0.01 (config.yaml:24).
+
+    src_cov / dst_cov: optional precomputed (covs (N,3,3), valid (N,))
+    pairs — e.g. derived from a kNN pass an earlier stage already ran
+    (plane_covariances_from_knn); skips the internal covariance search.
     """
     if init_T is None:
         init_T = jnp.eye(4, dtype=src.dtype)
-    src_cov, src_ok = plane_covariances(
-        src, src_mask, k=k, backend=cov_backend, res=voxel_res
-    )
-    dst_cov, dst_ok = plane_covariances(
-        dst, dst_mask, k=k, backend=cov_backend, res=voxel_res
-    )
+    if src_cov is None:
+        src_cov = plane_covariances(
+            src, src_mask, k=k, backend=cov_backend, res=voxel_res
+        )
+    if dst_cov is None:
+        dst_cov = plane_covariances(
+            dst, dst_mask, k=k, backend=cov_backend, res=voxel_res
+        )
+    src_cov, src_ok = src_cov
+    dst_cov, dst_ok = dst_cov
     st = _gicp_iterate(
         src, src_mask & src_ok, src_cov, dst, dst_mask & dst_ok, dst_cov,
         init_T, max_corr_dist, trans_eps, max_iter,

@@ -5,19 +5,32 @@ k-nearest) database point": GICP correspondences each GN iteration,
 covariance kNN, FPFH neighborhoods, feature matching.  The XLA formulation
 (ops/knn.py) materializes (chunked) distance matrices in HBM and pays an
 unfused top_k; this kernel streams database tiles through VMEM, computes the
-cross-term on the MXU, and maintains per-row results with iterative masked
+cross-term on the MXU, and extracts per-row results with iterative masked
 min-extraction — the (M, N) distance matrix never exists in HBM.
 
-Mosaic notes (see pallas_guide.md): points are passed transposed (3, N) so
+Mosaic notes (see pallas_guide.md): points are passed transposed (F, N) so
 the long axis is the 128-lane dimension; masks are pre-baked into additive
-penalty rows; argmin uses the where(d==min, iota, BIG) trick so ties break
-to the lowest index deterministically; candidate buffers are loop-carried
-VALUES updated with masked selects (single-column vector stores are not
-lane-aligned and Mosaic rejects them).
+penalty rows; candidate buffers are loop-carried VALUES updated with masked
+selects (single-column vector stores are not lane-aligned and Mosaic
+rejects them).
+
+Extraction uses PACKED KEYS: the low ``ceil(log2(N))`` mantissa bits of each
+squared distance are overwritten with the global database column index, so
+one int32 min per row yields value AND argmin together, every key is unique
+(ties break to the lowest index deterministically, and knockout-by-equality
+can never kill two entries), and each of the k extraction rounds costs only
+one reduce + one compare-select over the tile (the unpacked formulation
+needed six passes).  Cost: squared distances are quantized to
+``2^-(23-log2(N))`` relative (~0.1% at N=8192) — irrelevant for radius
+gates, histogram weights, and fitness means, which is all callers use d2
+for.  IEEE monotonicity makes the int32 compare order match the float
+order for the non-negative distances produced here (masked columns carry a
++3.4e38 penalty and sort last; tiny negative rounding residue sorts first,
+i.e. as zero).
 
 The public entries `nn_pallas` / `knn_pallas` fall back to the XLA path on
 non-TPU backends (CPU tests run the fallback; TPU correctness is covered by
-a parity check in the verify drive).
+a parity assertion in bench.py and an interpret-mode unit test).
 """
 from __future__ import annotations
 
@@ -31,94 +44,104 @@ from jax.experimental.pallas import tpu as pltpu
 from . import knn as knn_xla
 
 _BIG = 3.4e38     # python float: jnp scalars would be captured kernel consts
-_IBIG = 2 ** 30
+_IMAX = 2 ** 31 - 1
 TQ = 256          # query rows per grid step
-TD = 2048         # database tile (streamed through the inner loop)
+_TD_CHOICES = (512, 1024, 1536, 2048)
+MAX_DB = 1 << 15  # global-index packing budget: 15 mantissa bits
 
 
-def _knn_kernel(k: int, n_db: int, feat: int):
-    n_tiles = n_db // TD
+def _choose_td(n: int, k: int) -> tuple[int, int]:
+    """Pick the database tile TD and padded size minimizing total extraction
+    work: per-row cost ~ n_pad (tile passes) + n_tiles^2 * k (candidate
+    updates + merge)."""
+    best = None
+    for td in _TD_CHOICES:
+        n_pad = -(-n // td) * td
+        n_tiles = n_pad // td
+        cost = n_pad + n_tiles * n_tiles * k
+        if best is None or cost < best[0]:
+            best = (cost, td, n_pad)
+    return best[1], best[2]
+
+
+def _knn_kernel(k: int, n_db: int, feat: int, td: int):
+    n_tiles = n_db // td
     kc = n_tiles * k
+    idx_bits = max((n_db - 1).bit_length(), 1)
+    idx_mask = (1 << idx_bits) - 1
 
     def kernel(qT_ref, qq_ref, dbT_ref, dd_ref, out_d_ref, out_i_ref):
         qq = qq_ref[0, :]  # (TQ,)
-        cand_col = jax.lax.broadcasted_iota(jnp.int32, (TQ, kc), 1)
+        cand_slot = jax.lax.broadcasted_iota(jnp.int32, (TQ, kc), 1)
 
-        def db_tile(t, carry):
-            cand_d, cand_i = carry
-            db_t = dbT_ref[:, pl.ds(t * TD, TD)]      # (F, TD)
-            dd_t = dd_ref[0, pl.ds(t * TD, TD)]       # (TD,)
+        def db_tile(t, cand_key):
+            db_t = dbT_ref[:, pl.ds(t * td, td)]      # (F, TD)
+            dd_t = dd_ref[0, pl.ds(t * td, td)]       # (TD,)
             cross = jax.lax.dot_general(
                 qT_ref[...], db_t,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (TQ, TD)
             d2 = qq[:, None] - 2.0 * cross + dd_t[None, :]
-            col = jax.lax.broadcasted_iota(jnp.int32, (TQ, TD), 1) + t * TD
+            col = jax.lax.broadcasted_iota(jnp.int32, (TQ, td), 1) + t * td
+            keys = (d2.view(jnp.int32) & ~idx_mask) | col
 
             def extract(j, c2):
-                d2c, cand_d, cand_i = c2
-                m = jnp.min(d2c, axis=1)               # (TQ,)
-                eq = d2c == m[:, None]
-                am = jnp.min(jnp.where(eq, col, jnp.int32(_IBIG)), axis=1)
-                sel = cand_col == (t * k + j)
-                cand_d = jnp.where(sel, m[:, None], cand_d)
-                cand_i = jnp.where(sel, am[:, None], cand_i)
-                # knock out by INDEX (ties by value are common in symmetric
-                # scenes; value-knockout would drop tied neighbors)
-                d2c = jnp.where(col == am[:, None], _BIG, d2c)
-                return (d2c, cand_d, cand_i)
+                keys, cand_key = c2
+                m = jnp.min(keys, axis=1)              # (TQ,) packed min
+                sel = cand_slot == (t * k + j)
+                cand_key = jnp.where(sel, m[:, None], cand_key)
+                keys = jnp.where(keys == m[:, None], jnp.int32(_IMAX), keys)
+                return (keys, cand_key)
 
-            _, cand_d, cand_i = jax.lax.fori_loop(
-                0, k, extract, (d2, cand_d, cand_i))
-            return cand_d, cand_i
+            _, cand_key = jax.lax.fori_loop(0, k, extract, (keys, cand_key))
+            return cand_key
 
-        cand_d0 = jnp.full((TQ, kc), _BIG, jnp.float32)
-        cand_i0 = jnp.zeros((TQ, kc), jnp.int32)
-        cand_d, cand_i = jax.lax.fori_loop(
-            0, n_tiles, db_tile, (cand_d0, cand_i0))
+        cand_key0 = jnp.full((TQ, kc), _IMAX, jnp.int32)
+        cand_key = jax.lax.fori_loop(0, n_tiles, db_tile, cand_key0)
+
+        def decode(key):
+            return (key & ~idx_mask).view(jnp.float32), key & idx_mask
 
         if n_tiles == 1:
-            # single tile: candidates ARE the (already-ordered) answer
-            out_d_ref[...] = cand_d
-            out_i_ref[...] = cand_i
+            od, oi = decode(cand_key)
+            out_d_ref[...] = od
+            out_i_ref[...] = oi
             return
 
-        # final k-extraction over the (TQ, n_tiles*k) candidates
+        # final k-extraction over the (TQ, n_tiles*k) candidates; keys are
+        # globally unique, so knockout-by-equality extracts exactly one
         out_col = jax.lax.broadcasted_iota(jnp.int32, (TQ, k), 1)
 
         def final(j, c):
-            cdc, od, oi = c
-            m = jnp.min(cdc, axis=1)
-            eq = cdc == m[:, None]
-            slot = jnp.min(jnp.where(eq, cand_col, jnp.int32(_IBIG)), axis=1)
-            picked = jnp.sum(
-                jnp.where(cand_col == slot[:, None], cand_i, 0), axis=1)
+            cand_key, okey = c
+            m = jnp.min(cand_key, axis=1)
             sel = out_col == j
-            od = jnp.where(sel, m[:, None], od)
-            oi = jnp.where(sel, picked[:, None], oi)
-            cdc = jnp.where(cand_col == slot[:, None], _BIG, cdc)
-            return (cdc, od, oi)
+            okey = jnp.where(sel, m[:, None], okey)
+            cand_key = jnp.where(cand_key == m[:, None], jnp.int32(_IMAX),
+                                 cand_key)
+            return (cand_key, okey)
 
-        _, od, oi = jax.lax.fori_loop(
-            0, k, final,
-            (cand_d, jnp.full((TQ, k), _BIG, jnp.float32),
-             jnp.zeros((TQ, k), jnp.int32)))
+        _, okey = jax.lax.fori_loop(
+            0, k, final, (cand_key, jnp.full((TQ, k), _IMAX, jnp.int32)))
+        od, oi = decode(okey)
         out_d_ref[...] = od
         out_i_ref[...] = oi
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _knn_pallas_tpu(queries, qmask, db, dbmask, k: int):
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _knn_pallas_tpu(queries, qmask, db, dbmask, k: int,
+                    interpret: bool = False):
     m, feat = queries.shape
     n = db.shape[0]
+    assert n <= MAX_DB, f"db too large for packed-key kNN ({n} > {MAX_DB})"
+    td, n_padded = _choose_td(n, k)
     m_pad = (-m) % TQ
-    n_pad = (-n) % TD
     q = jnp.pad(queries, ((0, m_pad), (0, 0)))
-    dbp = jnp.pad(db, ((0, n_pad), (0, 0)))
-    dpen = jnp.pad(jnp.where(dbmask, 0.0, _BIG), (0, n_pad),
+    dbp = jnp.pad(db, ((0, n_padded - n), (0, 0)))
+    dpen = jnp.pad(jnp.where(dbmask, 0.0, _BIG), (0, n_padded - n),
                    constant_values=_BIG)
     mp, np_ = q.shape[0], dbp.shape[0]
 
@@ -129,7 +152,7 @@ def _knn_pallas_tpu(queries, qmask, db, dbmask, k: int):
 
     grid = (mp // TQ,)
     out_d, out_i = pl.pallas_call(
-        _knn_kernel(k, np_, feat),
+        _knn_kernel(k, np_, feat, td),
         grid=grid,
         in_specs=[
             pl.BlockSpec((feat, TQ), lambda i: (0, i),
@@ -147,11 +170,12 @@ def _knn_pallas_tpu(queries, qmask, db, dbmask, k: int):
             jax.ShapeDtypeStruct((mp, k), jnp.float32),
             jax.ShapeDtypeStruct((mp, k), jnp.int32),
         ],
+        interpret=interpret,
     )(qT, qq, dbT, dd)
 
     out_d = out_d[:m]
     out_i = out_i[:m]
-    valid = (out_d < 1e37) & qmask[:, None]
+    valid = (out_d < 1e37) & qmask[:, None] & (out_i < n)
     out_d = jnp.where(valid, jnp.maximum(out_d, 0.0), jnp.inf)
     return out_d, jnp.where(valid, out_i, -1), valid
 
