@@ -44,6 +44,31 @@ LIO_PRESETS = {
         filter_size_map=0.5,
         extrinsic_T=(0.0, 0.0, 0.036),
         extrinsic_R=(-1.0, 0.0, 0.0, 0.0, -1.0, 0.0, 0.0, 0.0, 1.0)),
+    # Robot-specific Kimera-Multi presets (run.launch:38-43 names
+    # kimera-multi-acl_jackal2 and kimera-multi-apis). The snapshot only
+    # contains the acl_jackal2 YAML (fastlio_config_launch/kimera-multi.yaml
+    # — its lid/imu topics are /acl_jackal2/...); the apis launch/yaml pair
+    # is referenced but NOT checked out, so the apis preset carries the
+    # same VLP-16 platform tuning (identical Clearpath Jackal sensor rig)
+    # as the best available reconstruction [external].
+    "kimera-multi-acl_jackal2": LioConfig(
+        lidar_type="velodyne", scan_line=16, blind=0.3, point_filter_num=4,
+        acc_cov=0.1, gyr_cov=0.1, b_acc_cov=0.01, b_gyr_cov=0.005,
+        det_range=100.0, max_iteration=3, filter_size_surf=0.2,
+        filter_size_map=0.2,
+        extrinsic_T=(0.07025405, -0.10158666, -0.04942693),
+        extrinsic_R=(-2.9046527369e-02, -9.9957706196e-01, -1.7154151723e-03,
+                     -6.9278006858e-02, 3.7251435690e-03, -9.9759064383e-01,
+                     9.9717458733e-01, -2.8857692625e-02, -6.9356874944e-02)),
+    "kimera-multi-apis": LioConfig(
+        lidar_type="velodyne", scan_line=16, blind=0.3, point_filter_num=4,
+        acc_cov=0.1, gyr_cov=0.1, b_acc_cov=0.01, b_gyr_cov=0.005,
+        det_range=100.0, max_iteration=3, filter_size_surf=0.2,
+        filter_size_map=0.2,
+        extrinsic_T=(0.07025405, -0.10158666, -0.04942693),
+        extrinsic_R=(-2.9046527369e-02, -9.9957706196e-01, -1.7154151723e-03,
+                     -6.9278006858e-02, 3.7251435690e-03, -9.9759064383e-01,
+                     9.9717458733e-01, -2.8857692625e-02, -6.9356874944e-02)),
     # kimera-multi.yaml + .launch (VLP-16, finer filters)
     "kimera-multi": LioConfig(
         lidar_type="velodyne", scan_line=16, blind=0.3, point_filter_num=4,

@@ -63,6 +63,31 @@ def append(store: KeyframeStore, cloud, cloud_mask, pose, pose_corrected,
     )
 
 
+def grow(store: KeyframeStore, new_capacity: int) -> KeyframeStore:
+    """Re-pad the store to a larger capacity (amortized growth on overflow
+    — SURVEY §5: the reference's std::vector grows unboundedly,
+    fast_lio_sam_qn.cpp:127-130; here growth costs one recompile of the
+    consumers at the new static shape)."""
+    if new_capacity <= store.capacity:
+        return store
+    pad = new_capacity - store.capacity
+    eye = jnp.broadcast_to(
+        jnp.eye(4, dtype=store.poses.dtype), (pad, 4, 4))
+    return KeyframeStore(
+        clouds=jnp.concatenate(
+            [store.clouds,
+             jnp.zeros((pad,) + store.clouds.shape[1:], store.clouds.dtype)]),
+        cloud_masks=jnp.concatenate(
+            [store.cloud_masks,
+             jnp.zeros((pad,) + store.cloud_masks.shape[1:], bool)]),
+        poses=jnp.concatenate([store.poses, eye]),
+        poses_corrected=jnp.concatenate([store.poses_corrected, eye]),
+        timestamps=jnp.concatenate(
+            [store.timestamps, jnp.zeros((pad,), store.timestamps.dtype)]),
+        count=store.count,
+    )
+
+
 @jax.jit
 def rewrite_corrected(store: KeyframeStore, poses: jax.Array) -> KeyframeStore:
     """Bulk-overwrite corrected poses from the PGO estimate — the reference's

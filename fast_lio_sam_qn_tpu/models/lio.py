@@ -144,6 +144,8 @@ class LIO:
             map_backend=self.cfg.map_backend,
             surfel_window=self.cfg.surfel_query_window,
             surfel_hood_cap=self.cfg.surfel_hood_cap or None,
+            surfel_hood_window=self.cfg.surfel_hood_window,
+            surfel_halo_cap=self.cfg.surfel_halo_cap or None,
         )
 
 
@@ -190,13 +192,13 @@ def _first_per_voxel(pts, rel_t, mask, res, out_cap):
 @functools.partial(jax.jit, static_argnames=(
     "blind", "filter_num", "surf_res", "out_cap", "max_iter", "plane_k",
     "plane_threshold", "det_range", "map_backend", "surfel_window",
-    "surfel_hood_cap"))
+    "surfel_hood_cap", "surfel_hood_window", "surfel_halo_cap"))
 def _process_scan(
     state: LioState, pts_l, rel_t, mask, imu_t, gyro, acc, imu_mask,
     t_start, t_end, R_li, t_li, noise, *,
     blind, filter_num, surf_res, out_cap, max_iter, plane_k,
     plane_threshold, det_range, map_backend="surfel", surfel_window=1,
-    surfel_hood_cap=None,
+    surfel_hood_cap=None, surfel_hood_window=27, surfel_halo_cap=None,
 ):
     pts_p, t_p, m_p = _preprocess(
         pts_l, rel_t, mask, blind=blind, filter_num=filter_num,
@@ -235,7 +237,9 @@ def _process_scan(
                                        jnp.float32(det_range * 1.5))
         grid = surfel_map.insert(grid, pts_w, m_p,
                                  thickness=jnp.float32(plane_threshold),
-                                 hood_cap=surfel_hood_cap)
+                                 hood_cap=surfel_hood_cap,
+                                 halo_cap=surfel_halo_cap,
+                                 hood_window=surfel_hood_window)
     else:
         grid = hashgrid.evict_beyond(state.grid, nav2.p,
                                      jnp.float32(det_range * 1.5))

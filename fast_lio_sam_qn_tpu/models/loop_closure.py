@@ -162,11 +162,13 @@ class LoopClosure:
             trans_eps=gc.transformation_epsilon,
             cov_backend="brute", voxel_res=self.cfg.voxel_res)
         # acceptance: converged AND below the score threshold
-        # (loop_closure.cpp:129) AND not translation-degenerate (a TPU-native
+        # (loop_closure.cpp:129) AND — unless degeneracy_gate is off
+        # (strict parity) — not translation-degenerate (a TPU-native
         # addition: plane-sliding registrations pass the fitness gate with
         # confidently-wrong transforms — see GicpResult.degenerate)
-        valid = res.converged & (res.fitness < gc.icp_score_thr) & \
-            ~res.degenerate
+        valid = res.converged & (res.fitness < gc.icp_score_thr)
+        if self.cfg.degeneracy_gate:
+            valid = valid & ~res.degenerate
         return res, valid
 
     def coarse_to_fine_alignment(self, src, src_mask, dst, dst_mask,

@@ -147,10 +147,14 @@ class FastLioSamQnPipeline:
     # ------------------------------------------------------------------
     def _add_keyframe(self, pose, corrected, cloud, mask, timestamp, first):
         c = self.cfg
-        if self.current_kf_idx >= c.caps.max_keyframes:
-            raise RuntimeError(
-                f"keyframe capacity {c.caps.max_keyframes} exhausted; "
-                "raise Capacities.max_keyframes (fixed-shape device store)")
+        if self.current_kf_idx >= self.store.capacity:
+            # amortized growth: double the padded capacity (one recompile
+            # at the new static shape) instead of crashing — SURVEY §5's
+            # "amortized re-pad on overflow" for the keyframe stream
+            new_cap = 2 * self.store.capacity
+            self.store = kf.grow(self.store, new_cap)
+            self.graph = pgo.grow(self.graph, max_nodes=new_cap)
+            c.caps.max_keyframes = new_cap
         # store the body cloud voxelized at matching resolution (the
         # reference stores raw and voxelizes inside setSrcAndDstCloud; the
         # matching path re-voxelizes after world transform either way)
@@ -175,7 +179,8 @@ class FastLioSamQnPipeline:
         # reference: isam.update x2, x5 when a loop was added (:156-165)
         gn = 5 if self.loop_added_flag else 2
         self.graph = pgo.optimize(self.graph, self._prior_var,
-                                  self._odom_var, gn_iters=gn, pcg_iters=64)
+                                  self._odom_var, gn_iters=gn, pcg_iters=64,
+                                  robust_delta=self.cfg.robust_delta)
         n = self.current_kf_idx
         last = self.graph.poses[n - 1]
         self.last_corrected_pose = last
@@ -254,12 +259,11 @@ class FastLioSamQnPipeline:
         self._pending_loops.append(entry)
 
     def _add_loop_factor(self, query_idx, closest_i, pose_between, score):
-        if len(self.loop_idx_pairs) >= self.cfg.caps.max_loop_factors:
-            # keep running: drop the factor, record the event only
-            import warnings
-
-            warnings.warn("loop-factor capacity exhausted; factor dropped")
-            return
+        if len(self.loop_idx_pairs) >= self.graph.loop_i.shape[0]:
+            # amortized growth instead of a silent drop (SURVEY §5)
+            new_cap = 2 * self.graph.loop_i.shape[0]
+            self.graph = pgo.grow(self.graph, max_loops=new_cap)
+            self.cfg.caps.max_loop_factors = new_cap
         # loop BetweenFactor with the reference's composition order
         # (:224-233): pose_from = reg.pose_between * query.corrected
         pose_from = se3.compose(

@@ -180,8 +180,13 @@ def propagate(
         bg=s_mid.bg, ba=s_mid.ba, grav=s_mid.grav,
     )
     F = _step_jacobians(s_mid.R, a_c, w_c, dt_tail, dtype)
+    Q_tail = jnp.zeros((STATE_DIM,), dtype)
+    Q_tail = Q_tail.at[_TH:_TH + 3].set(noise[0] * dt_tail)
+    Q_tail = Q_tail.at[_V:_V + 3].set(noise[1] * dt_tail)
+    Q_tail = Q_tail.at[_BG:_BG + 3].set(noise[2] * dt_tail)
+    Q_tail = Q_tail.at[_BA:_BA + 3].set(noise[3] * dt_tail)
     P_end = jnp.matmul(jnp.matmul(F, P_mid, precision="highest"), F.T,
-                       precision="highest")
+                       precision="highest") + jnp.diag(Q_tail)
     log = PropagationLog(t=lt, R=lR, p=lp, v=lv, w=lw, valid=imu_mask)
     return s_end, P_end, log
 
@@ -204,18 +209,22 @@ def deskew(
     velocity / gyro within IMU intervals).
     """
     t_abs = t_start + rel_t
-    # index of the latest log sample with t <= t_abs
-    log_t = jnp.where(log.valid, log.t, jnp.inf)
-    idx = jnp.clip(jnp.searchsorted(log_t, t_abs, side="right") - 1, 0,
-                   log_t.shape[0] - 1)
+    # index of the latest valid log sample with t <= t_abs.  A masked argmax
+    # (not searchsorted) so the result is correct for ANY imu_mask layout —
+    # invalid samples need not form a suffix.
+    k = log.t.shape[0]
+    le = log.valid[None, :] & (log.t[None, :] <= t_abs[:, None])   # (N, K)
+    score = jnp.where(le, jnp.arange(k, dtype=jnp.int32)[None, :], -1)
+    idx = jnp.max(score, axis=1)                                   # -1: none
+    has_prev = idx >= 0
+    # points BEFORE the first valid sample: use the first valid sample's
+    # pose with dt = 0 (no extrapolation)
+    first_valid = jnp.argmax(log.valid)
+    idx = jnp.where(has_prev, jnp.maximum(idx, 0), first_valid)
     any_valid = jnp.any(log.valid)
-    t_i = jnp.where(log.valid[idx], log.t[idx], t_start)
+    t_i = jnp.where(has_prev, log.t[idx], t_abs)
     dt = jnp.maximum(t_abs - t_i, 0.0)
-    Rk = jnp.where(log.valid[idx][:, None, None], log.R[idx],
-                   state_end.R[None])
-    pk = jnp.where(log.valid[idx][:, None], log.p[idx], state_end.p[None])
-    vk = jnp.where(log.valid[idx][:, None], log.v[idx], state_end.v[None])
-    wk = jnp.where(log.valid[idx][:, None], log.w[idx], 0.0)
+    Rk, pk, vk, wk = log.R[idx], log.p[idx], log.v[idx], log.w[idx]
     R_t = jnp.matmul(Rk, se3.so3_exp(wk * dt[:, None]), precision="highest")
     p_t = pk + vk * dt[:, None]
     p_b = _ptransform(points_l, R_li, t_li)

@@ -73,6 +73,33 @@ def empty_graph(max_nodes: int, max_loops: int, dtype=jnp.float32) -> GraphState
     )
 
 
+def grow(graph: GraphState, max_nodes: int | None = None,
+         max_loops: int | None = None) -> GraphState:
+    """Re-pad the graph to larger static capacities (amortized growth on
+    overflow; replaces a hard capacity error — the reference's containers
+    grow unboundedly, fast_lio_sam_qn.cpp:127-130). One recompile of
+    optimize() per growth step."""
+    dtype = graph.poses.dtype
+    g = graph
+    if max_nodes is not None and max_nodes > g.capacity:
+        pad = max_nodes - g.capacity
+        eye = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (pad, 4, 4))
+        g = g._replace(
+            poses=jnp.concatenate([g.poses, eye]),
+            odom_meas=jnp.concatenate([g.odom_meas, eye]),
+        )
+    if max_loops is not None and max_loops > g.loop_i.shape[0]:
+        pad = max_loops - g.loop_i.shape[0]
+        eye = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (pad, 4, 4))
+        g = g._replace(
+            loop_i=jnp.concatenate([g.loop_i, jnp.zeros((pad,), jnp.int32)]),
+            loop_j=jnp.concatenate([g.loop_j, jnp.zeros((pad,), jnp.int32)]),
+            loop_meas=jnp.concatenate([g.loop_meas, eye]),
+            loop_var=jnp.concatenate([g.loop_var, jnp.ones((pad,), dtype)]),
+        )
+    return g
+
+
 @jax.jit
 def add_first_node(graph: GraphState, pose: jax.Array) -> GraphState:
     """Prior factor + initial estimate (fast_lio_sam_qn.cpp:112-118)."""
@@ -84,7 +111,8 @@ def add_first_node(graph: GraphState, pose: jax.Array) -> GraphState:
 
 
 @jax.jit
-def add_odom_node(graph: GraphState, pose_from: jax.Array, pose_to: jax.Array) -> GraphState:
+def add_odom_node(graph: GraphState, pose_from: jax.Array,
+                  pose_to: jax.Array) -> GraphState:
     """Append node with BetweenFactor(prev, cur, from.between(to))
     (fast_lio_sam_qn.cpp:132-143). pose_to is also the initial estimate."""
     i = graph.num_nodes
@@ -208,7 +236,8 @@ def _hx(idx_i, idx_j, Ji, Jj, w6, valid, x, n_cap):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("gn_iters", "pcg_iters"))
+@functools.partial(
+    jax.jit, static_argnames=("gn_iters", "pcg_iters", "robust_delta"))
 def optimize(
     graph: GraphState,
     prior_var: jax.Array,

@@ -75,7 +75,11 @@ def voxel_downsample(
     h = spatial_hash(coords)
     # push invalid points to the end of the sort with a sentinel key
     key = jnp.where(mask, h, jnp.iinfo(jnp.int32).max)
-    order = jnp.argsort(key)
+    # stable: equal-key order (hash collisions between distinct voxels, and
+    # padding rows) must not depend on the platform's sort tie-breaking —
+    # an unstable sort can interleave two colliding voxels' points and split
+    # them into multiple segment heads (duplicate centroids)
+    order = jnp.argsort(key, stable=True)
     pts_s = points[order]
     coords_s = coords[order]
     key_s = key[order]

@@ -19,10 +19,12 @@ Modes (mirroring how the reference is driven, README.md:83-94, minus ROS):
       ("t gx gy gz ax ay az" rows) and times.txt (scan timestamps); runs the
       LIO front end + PGO.
 
-Checkpointing: --checkpoint path saves the full state at the end.
-(--resume is not supported by the CLI modes, which construct their own
-pipelines per run; use the library API — utils.checkpoint.load_checkpoint —
-for mid-run resume.)
+Checkpointing: --checkpoint PATH saves the full state (pipeline + LIO
+filter) at the end of the run — and, with --checkpoint-every N, every N
+scans. Integrated (--kitti) runs restore it with --resume PATH and
+continue at the saved scan index (reference parity note: upstream has
+output-only persistence, SURVEY §5; mid-run resume is a TPU-native
+addition).
 """
 from __future__ import annotations
 
@@ -49,6 +51,57 @@ def _enable_compile_cache():
         pass
 
 
+class RunObservers:
+    """Mid-run observability — the reference's vis timer + /save_dir topic
+    equivalents (fast_lio_sam_qn.cpp:254-325, :327):
+
+    - --save-trigger PATH: when PATH appears, export full results to the
+      directory named by its content (or PATH+'.out' if empty) and delete
+      it — an any-time save request, like publishing to /save_dir.
+    - --watch DIR: every 1/vis_hz of DATA time, dump the corrected
+      trajectory, raw-odometry trajectory, and loop pairs into DIR —
+      a pull-free live view replacing the 12 rviz publishers.
+    """
+
+    def __init__(self, args, vis_hz: float):
+        self.trigger = getattr(args, "save_trigger", None)
+        self.watch = getattr(args, "watch", None)
+        self.period = 1.0 / max(vis_hz, 1e-6)
+        self._next = None
+        if self.watch:
+            os.makedirs(self.watch, exist_ok=True)
+
+    def tick(self, pipe, t: float):
+        if self.trigger and os.path.exists(self.trigger):
+            with open(self.trigger) as f:
+                dest = f.read().strip() or (self.trigger + ".out")
+            os.remove(self.trigger)
+            from .utils.io import save_results
+
+            save_results(pipe, dest)
+            print(f"saved results to {dest} (trigger)", file=sys.stderr)
+        if not self.watch:
+            return
+        if self._next is None:
+            self._next = t
+        if t < self._next:
+            return
+        self._next += self.period
+        from .utils import io as _io
+
+        n = pipe.current_kf_idx
+        if n == 0:
+            return
+        odom, corrected = pipe.get_trajectories()
+        _io.save_poses_kitti(
+            os.path.join(self.watch, "corrected_path.txt"), corrected)
+        _io.save_poses_kitti(
+            os.path.join(self.watch, "odom_path.txt"), odom)
+        with open(os.path.join(self.watch, "loops.json"), "w") as f:
+            json.dump({"pairs": pipe.loop_idx_pairs,
+                       "keyframes": n, "t": t}, f)
+
+
 def run_sim(args):
     import jax.numpy as jnp
 
@@ -66,6 +119,7 @@ def run_sim(args):
     pipe = FastLioSamQnPipeline(cfg)
     lio = LIO(cfg.lio)
     prof = Profiler()
+    obs = RunObservers(args, cfg.vis_hz)
 
     if getattr(args, "trajectory", "loop") == "figure8":
         world = sim.World.room(size=40.0, height=6.0, n_boxes=16, seed=3)
@@ -113,6 +167,7 @@ def run_sim(args):
                 jnp.asarray(ia), jnp.asarray(im), t0, t1)
         with prof.span("pgo"):
             pipe.feed(res.pose, res.cloud_body, res.cloud_mask, t1)
+        obs.tick(pipe, t1)
         gt.append(np.linalg.inv(T0) @ traj.pose(t1))
         if args.verbose and i % 25 == 0:
             print(f"scan {i}/{n_scans} kfs={pipe.current_kf_idx} "
@@ -135,7 +190,8 @@ def run_sim(args):
     return pipe, report
 
 
-def _feed_scan_files(pipe, scan_paths, poses, stamps, world_frame, cap):
+def _feed_scan_files(pipe, scan_paths, poses, stamps, world_frame, cap,
+                     obs=None):
     import jax.numpy as jnp
 
     from .runtime import ScanLoader
@@ -154,6 +210,8 @@ def _feed_scan_files(pipe, scan_paths, poses, stamps, world_frame, cap):
         cloud, mask = pad_cloud(pts.astype(np.float32), cap)
         pipe.feed(jnp.asarray(T, jnp.float32), jnp.asarray(cloud),
                   jnp.asarray(mask), float(t))
+        if obs is not None:
+            obs.tick(pipe, float(t))
     loader.close()
 
 
@@ -170,14 +228,47 @@ def run_parity(args):
         glob.glob(os.path.join(args.scans, "*.bin"))
         + glob.glob(os.path.join(args.scans, "*.pcd")))
     poses = io.load_poses_kitti(args.poses)
-    n = min(len(scan_paths), len(poses))
-    stamps = (np.loadtxt(args.stamps)[:n] if args.stamps
-              else np.arange(n) * 0.1)
+    dropped = 0
+    if args.odom_times:
+        # ApproximateTime pairing of the two streams, exactly like the
+        # reference's message_filters sync of /Odometry + /cloud_registered
+        # (fast_lio_sam_qn.cpp:75-78): scans whose stamp has no odometry
+        # stamp within --sync-slop are DROPPED, not index-paired.
+        from .runtime import ApproxTimeSync
+
+        if not args.stamps:
+            raise SystemExit("--odom-times requires --stamps (scan stamps)")
+        scan_t = np.loadtxt(args.stamps)[: len(scan_paths)]
+        odom_t = np.loadtxt(args.odom_times)[: len(poses)]
+        sync = ApproxTimeSync(slop=args.sync_slop)
+        for i, t in enumerate(scan_t):
+            sync.push_a(float(t), i)
+        for j, t in enumerate(odom_t):
+            sync.push_b(float(t), j)
+        pairs = []
+        while (p := sync.pop()) is not None:
+            pairs.append(p)
+        sync.close()
+        scan_sel = [scan_paths[ia] for ia, _, _, _ in pairs]
+        pose_sel = np.stack([poses[ib] for _, ib, _, _ in pairs]) if pairs \
+            else np.zeros((0, 4, 4))
+        # the callback's PosePcd record is stamped with the ODOM time
+        stamps = np.asarray([tb for _, _, _, tb in pairs])
+        n = len(pairs)
+        dropped = len(scan_t) - n  # scans with no odometry within slop
+    else:
+        n = min(len(scan_paths), len(poses))
+        scan_sel = scan_paths[:n]
+        pose_sel = poses[:n]
+        stamps = (np.loadtxt(args.stamps)[:n] if args.stamps
+                  else np.arange(n) * 0.1)
     with prof.span("run"):
-        _feed_scan_files(pipe, scan_paths[:n], poses[:n], stamps,
-                         args.world_frame, cfg.caps.keyframe_points)
+        _feed_scan_files(pipe, scan_sel, pose_sel, stamps,
+                         args.world_frame, cfg.caps.keyframe_points,
+                         obs=RunObservers(args, cfg.vis_hz))
     report = {
         "mode": "parity", "scans": n, "keyframes": pipe.current_kf_idx,
+        "dropped_unmatched": dropped,
         "loops_accepted": len(pipe.loop_idx_pairs),
         "loop_attempts": len(pipe.loop_events),
         "timing": prof.summary(),
@@ -199,6 +290,7 @@ def run_kitti(args):
     pipe = FastLioSamQnPipeline(cfg)
     lio = LIO(cfg.lio)
     prof = Profiler()
+    obs = RunObservers(args, cfg.vis_hz)
 
     scan_paths = sorted(glob.glob(os.path.join(args.kitti, "scans", "*.bin")))
     stamps = np.loadtxt(os.path.join(args.kitti, "times.txt"))
@@ -213,10 +305,23 @@ def run_kitti(args):
     gdir, bg = LIO.init_from_imu(init_rows[:, 1:4], init_rows[:, 4:7])
     state = lio.init_state(gravity_dir=gdir, gyro_bias=bg, t0=stamps[0])
 
+    start = 0
+    if getattr(args, "resume", None):
+        from .utils.checkpoint import load_checkpoint
+
+        pipe, st, extra = load_checkpoint(pipe, args.resume,
+                                          lio_template=state)
+        if st is None:
+            raise SystemExit(
+                f"{args.resume} holds no LIO state; re-save with a recent "
+                "--checkpoint")
+        state = st
+        start = int(extra.get("scan_index", 0))
+
     loader = ScanLoader(scan_paths[:n], cap=1 << 18)
     cap = cfg.lio.max_points_per_scan
     imu_cap = 64
-    for i in range(n):
+    for i in range(start, n):
         t1 = stamps[i]
         t0 = stamps[i - 1] if i else t1 - 0.1
         with prof.span("io"):
@@ -250,15 +355,30 @@ def run_kitti(args):
                 jnp.asarray(ia), jnp.asarray(im), float(t0), float(t1))
         with prof.span("pgo"):
             pipe.feed(res.pose, res.cloud_body, res.cloud_mask, float(t1))
+        obs.tick(pipe, float(t1))
+        if args.checkpoint and args.checkpoint_every and \
+                (i + 1) % args.checkpoint_every == 0:
+            from .utils.checkpoint import save_checkpoint
+
+            save_checkpoint(pipe, args.checkpoint, lio_state=state,
+                            extra={"scan_index": i + 1})
         if args.verbose and i % 50 == 0:
             print(f"scan {i}/{n} kfs={pipe.current_kf_idx} "
                   f"matches={int(res.num_matches)}", flush=True)
     loader.close()
+    if args.checkpoint:
+        from .utils.checkpoint import save_checkpoint
+
+        save_checkpoint(pipe, args.checkpoint, lio_state=state,
+                        extra={"scan_index": n})
     report = {
         "mode": "kitti", "scans": n, "keyframes": pipe.current_kf_idx,
+        "resumed_at": start or None,
         "loops_accepted": len(pipe.loop_idx_pairs),
         "timing": prof.summary(),
     }
+    if args.checkpoint:
+        report["checkpoint"] = args.checkpoint
     return pipe, report
 
 
@@ -269,13 +389,35 @@ def main(argv=None):
     p.add_argument("--scans", help="scan dir for parity mode")
     p.add_argument("--poses", help="KITTI-format odometry pose file")
     p.add_argument("--stamps", help="timestamps file (one float per scan)")
+    p.add_argument("--odom-times",
+                   help="parity mode: odometry timestamps file; pairs the "
+                        "scan/odom streams via ApproximateTime sync and "
+                        "drops unmatched frames (fast_lio_sam_qn.cpp:75-78)")
+    p.add_argument("--sync-slop", type=float, default=0.05,
+                   help="max |scan_t - odom_t| for an ApproximateTime pair")
     p.add_argument("--world-frame", action="store_true",
                    help="scans are world-frame (un-transform by pose)")
     p.add_argument("--preset", default="kitti")
     p.add_argument("--out", default=None, help="export directory")
     p.add_argument("--plot", default=None, help="write a trajectory/map PNG")
-    p.add_argument("--checkpoint", default=None)
-    p.add_argument("--resume", default=None)
+    p.add_argument("--save-trigger", default=None,
+                   help="mid-run save request file: when it appears, export "
+                        "results to the directory it names and delete it "
+                        "(the /save_dir topic equivalent, "
+                        "fast_lio_sam_qn.cpp:327)")
+    p.add_argument("--watch", default=None,
+                   help="directory for incremental trajectory/loop dumps "
+                        "every 1/vis_hz of data time (live observability)")
+    p.add_argument("--checkpoint", default=None,
+                   help="save the full state (pipeline + LIO) here at the "
+                        "end of the run; with --checkpoint-every, also "
+                        "periodically")
+    p.add_argument("--checkpoint-every", type=int, default=None,
+                   help="integrated mode: save --checkpoint every N scans")
+    p.add_argument("--resume", default=None,
+                   help="integrated (--kitti) mode: restore pipeline + LIO "
+                        "state from this checkpoint and continue at its "
+                        "saved scan index")
     p.add_argument("--n-scans", type=int, default=None)
     p.add_argument("--trajectory", default="loop",
                    choices=["loop", "figure8"])
@@ -283,9 +425,8 @@ def main(argv=None):
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
 
-    if args.resume:
-        p.error("--resume is not supported by the CLI modes; use "
-                "utils.checkpoint.load_checkpoint via the library API")
+    if args.resume and not args.kitti:
+        p.error("--resume is supported in integrated (--kitti) mode")
     _enable_compile_cache()
     if args.sim:
         pipe, report = run_sim(args)
@@ -296,7 +437,7 @@ def main(argv=None):
     else:
         p.error("pick a mode: --sim | --kitti DIR | --scans DIR --poses F")
 
-    if args.checkpoint:
+    if args.checkpoint and "checkpoint" not in report:
         from .utils.checkpoint import save_checkpoint
 
         save_checkpoint(pipe, args.checkpoint)

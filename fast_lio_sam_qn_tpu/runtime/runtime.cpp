@@ -61,6 +61,7 @@ int64_t flsq_read_pcd(const char* path, float* out, int64_t cap) {
     std::string line, data_mode;
     std::vector<std::string> fields;
     std::vector<int> sizes;
+    std::vector<int> counts;  // PCD COUNT: elements per field (default 1)
     std::vector<char> types;
     int64_t n_points = 0;
     while (std::getline(f, line)) {
@@ -77,6 +78,9 @@ int64_t flsq_read_pcd(const char* path, float* out, int64_t cap) {
         } else if (key == "TYPE") {
             std::string v;
             while (ss >> v) types.push_back(v[0]);
+        } else if (key == "COUNT") {
+            int v;
+            while (ss >> v) counts.push_back(v);
         } else if (key == "POINTS") {
             ss >> n_points;
         } else if (key == "DATA") {
@@ -85,6 +89,8 @@ int64_t flsq_read_pcd(const char* path, float* out, int64_t cap) {
         }
     }
     if (fields.empty() || n_points <= 0) return -1;
+    if (counts.empty()) counts.assign(fields.size(), 1);
+    if (counts.size() != fields.size()) return -1;
     int ix = -1, iy = -1, iz = -1, ii = -1;
     for (size_t i = 0; i < fields.size(); ++i) {
         if (fields[i] == "x") ix = (int)i;
@@ -95,25 +101,34 @@ int64_t flsq_read_pcd(const char* path, float* out, int64_t cap) {
     if (ix < 0 || iy < 0 || iz < 0) return -1;
     int64_t n = std::min<int64_t>(n_points, cap);
 
+    // element offset of each field's FIRST element within one record
+    // (COUNT>1 fields — e.g. PCL '_' padding or histograms — occupy
+    // count consecutive elements; x/y/z/intensity use element 0)
+    std::vector<int> eoff(fields.size());
+    int total_elems = 0;
+    for (size_t i = 0; i < fields.size(); ++i) {
+        eoff[i] = total_elems;
+        total_elems += counts[i];
+    }
     if (data_mode == "ascii") {
-        std::vector<double> vals(fields.size());
+        std::vector<double> vals(total_elems);
         for (int64_t p = 0; p < n; ++p) {
             if (!std::getline(f, line)) return p;
             std::istringstream ss(line);
-            for (size_t i = 0; i < fields.size(); ++i) ss >> vals[i];
-            out[4 * p + 0] = (float)vals[ix];
-            out[4 * p + 1] = (float)vals[iy];
-            out[4 * p + 2] = (float)vals[iz];
-            out[4 * p + 3] = ii >= 0 ? (float)vals[ii] : 0.0f;
+            for (int i = 0; i < total_elems; ++i) ss >> vals[i];
+            out[4 * p + 0] = (float)vals[eoff[ix]];
+            out[4 * p + 1] = (float)vals[eoff[iy]];
+            out[4 * p + 2] = (float)vals[eoff[iz]];
+            out[4 * p + 3] = ii >= 0 ? (float)vals[eoff[ii]] : 0.0f;
         }
         return n;
     }
-    // binary: compute record stride and field offsets
+    // binary: compute record stride and byte offsets (COUNT-aware)
     int stride = 0;
     std::vector<int> offs(fields.size());
     for (size_t i = 0; i < fields.size(); ++i) {
         offs[i] = stride;
-        stride += sizes[i];
+        stride += sizes[i] * counts[i];
     }
     std::vector<char> rec(stride);
     for (int64_t p = 0; p < n; ++p) {

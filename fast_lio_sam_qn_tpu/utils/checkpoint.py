@@ -2,12 +2,16 @@
 
 The reference has output-only persistence (SURVEY §5): map+poses on demand
 and at shutdown, no mid-run resume.  Because our entire state is a pytree of
-device arrays (keyframe store, factor graph, scheduler scalars), true
+device arrays (keyframe store, factor graph, scheduler scalars, and — when
+passed — the LIO front end's NavState/covariance/voxel map), true
 checkpointing is one npz write — so we add it, as the SURVEY build plan
-calls for.
+calls for.  Integrated-mode runs (``run.py --kitti --resume``) restore both
+the pipeline and the LIO filter and continue mid-sequence.
 
 Format: a single compressed npz of the pipeline's device state + a small
-JSON-ish scalar block for the host-side scheduler state.
+JSON-ish scalar block for the host-side scheduler state; the LIO state is
+stored as its flattened pytree leaves (rebuilt against a template state
+from the same config, which fixes the treedef and static shapes).
 """
 from __future__ import annotations
 
@@ -16,7 +20,7 @@ import json
 import numpy as np
 
 
-def save_checkpoint(pipeline, path: str):
+def save_checkpoint(pipeline, path: str, lio_state=None, extra=None):
     st = pipeline.store
     g = pipeline.graph
     host = {
@@ -39,9 +43,18 @@ def save_checkpoint(pipeline, path: str):
              "committed": p["committed"]}
             for p in pipeline._pending_loops
         ],
+        "extra": extra or {},
     }
+    lio_arrays = {}
+    if lio_state is not None:
+        import jax
+
+        leaves = jax.tree.leaves(lio_state)
+        lio_arrays = {f"lio_leaf_{i}": np.asarray(leaf)
+                      for i, leaf in enumerate(leaves)}
     np.savez_compressed(
         path,
+        **lio_arrays,
         host_json=np.frombuffer(json.dumps(host).encode(), dtype=np.uint8),
         store_clouds=np.asarray(st.clouds),
         store_cloud_masks=np.asarray(st.cloud_masks),
@@ -69,9 +82,14 @@ def save_checkpoint(pipeline, path: str):
     )
 
 
-def load_checkpoint(pipeline, path: str):
+def load_checkpoint(pipeline, path: str, lio_template=None):
     """Restore state into an already-constructed pipeline (capacities must
-    match the checkpoint)."""
+    match the checkpoint).
+
+    lio_template: a LioState from LIO.init_state() with the SAME config as
+    at save time; when given and the checkpoint holds LIO leaves, returns
+    (pipeline, lio_state, extra) instead of just the pipeline."""
+    import jax
     import jax.numpy as jnp
 
     from ..models.keyframes import KeyframeStore
@@ -121,4 +139,20 @@ def load_checkpoint(pipeline, path: str):
     pipeline.last_kf_corrected = jnp.asarray(z["last_kf_corrected"])
     pipeline.realtime_poses = list(z["realtime_poses"])
     pipeline.odom_poses = list(z["odom_poses"])
-    return pipeline
+    if lio_template is None:
+        return pipeline
+    extra = host.get("extra", {})
+    n_leaves = len([k for k in z.files if k.startswith("lio_leaf_")])
+    if n_leaves == 0:
+        return pipeline, None, extra
+    treedef = jax.tree.structure(lio_template)
+    leaves = [jnp.asarray(z[f"lio_leaf_{i}"]) for i in range(n_leaves)]
+    # static (non-array) leaves like SurfelMap.res round-trip as 0-d arrays;
+    # restore them to the template's Python type
+    tmpl_leaves = jax.tree.leaves(lio_template)
+    assert len(tmpl_leaves) == n_leaves, (
+        "LIO checkpoint layout mismatch: config/backend differs from save")
+    leaves = [type(t)(leaf) if not hasattr(t, "shape") else leaf
+              for t, leaf in zip(tmpl_leaves, leaves)]
+    lio_state = jax.tree.unflatten(treedef, leaves)
+    return pipeline, lio_state, extra

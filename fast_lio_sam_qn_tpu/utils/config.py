@@ -90,6 +90,11 @@ class LoopClosureConfig:
     # 0 disables (raw reference behavior: commit on fitness alone).
     consensus_window: int = 10
     consensus_tol: float = 0.6
+    # TPU-native addition: additionally reject registrations whose
+    # translation normal equations are unconstrained along a direction
+    # (GicpResult.degenerate). False = reference acceptance (fitness-only,
+    # loop_closure.cpp:129).
+    degeneracy_gate: bool = True
     gicp: GicpConfig = field(default_factory=GicpConfig)
     quatro: QuatroConfig = field(default_factory=QuatroConfig)
 
@@ -129,6 +134,14 @@ class LioConfig:
     surfel_hood_cap: int = 8192               # max neighborhood-refits per
                                               # scan (insert cost bound;
                                               # 0/None = unbounded)
+    surfel_hood_window: int = 7               # 7 = face hood (validated on
+                                              # sim: ATE matches the full
+                                              # 3^3 within noise at ~4x less
+                                              # refit gather traffic); 27 =
+                                              # full 3^3
+    surfel_halo_cap: int = 4096               # max halo-propagation sources
+                                              # per scan (frontier + dirty
+                                              # voxels; 0/None = all points)
     # static device capacities (TPU-native additions)
     max_points_per_scan: int = 32768          # padded scan capacity post-filter
     map_table_size: int = 1 << 19             # voxel-hash slots of local map
@@ -174,6 +187,22 @@ class PipelineConfig:
     # loop factors use isotropic variance = ICP fitness score (:226).
     prior_variances: tuple = (1e-4, 1e-4, 1e-4, 1e-2, 1e-2, 1e-2)
     odom_variances: tuple = (1e-4, 1e-4, 1e-4, 1e-2, 1e-2, 1e-2)
+    # TPU-native addition: Huber threshold on loop factors in the pose-graph
+    # solve (ops/pgo.py optimize). <= 0 restores the reference's raw
+    # isotropic-variance weighting.
+    robust_delta: float = 1.0
+
+    def apply_strict_parity(self) -> "PipelineConfig":
+        """Disable every beyond-reference robustness gate IN PLACE so loop
+        acceptance and weighting reproduce the reference exactly:
+        fitness-only acceptance (loop_closure.cpp:129), raw isotropic loop
+        noise (fast_lio_sam_qn.cpp:226-233), latest-keyframe-only lossy
+        loop timer (fast_lio_sam_qn.cpp:205-210). Returns self."""
+        self.loop.consensus_window = 0
+        self.loop.degeneracy_gate = False
+        self.loop.loop_batch = 0
+        self.robust_delta = 0.0
+        return self
 
 
 # ---------------------------------------------------------------------------
@@ -190,10 +219,17 @@ def _lookup(tree: dict, dotted: str, default: Any) -> Any:
     return node
 
 
-def load_reference_yaml(path_or_dict) -> PipelineConfig:
+def load_reference_yaml(path_or_dict, strict_parity: bool = True
+                        ) -> PipelineConfig:
     """Load a reference-format config.yaml reproducing the node's exact
     parameter reads — including the three typo'd keys that make it ignore
-    YAML values (see module docstring)."""
+    YAML values (see module docstring).
+
+    strict_parity (default True): a config loaded from the reference's own
+    YAML should reproduce the reference's behavior, so the beyond-reference
+    robustness gates (consensus window, Huber loop factors, degeneracy
+    gate) are disabled via apply_strict_parity(). Pass False to keep the
+    native robust defaults on top of the reference parameter values."""
     if isinstance(path_or_dict, dict):
         tree = path_or_dict
     else:
@@ -256,6 +292,8 @@ def load_reference_yaml(path_or_dict) -> PipelineConfig:
     cfg.save_in_kitti_format = bool(
         _lookup(tree, "result/save_in_kitti_format", False))
     cfg.seq_name = str(_lookup(tree, "result/seq_name", ""))
+    if strict_parity:
+        cfg.apply_strict_parity()
     return cfg
 
 

@@ -72,19 +72,29 @@ def load_pcd(path: str) -> np.ndarray:
         n = int(header["POINTS"])
         sizes = [int(s) for s in header["SIZE"].split()]
         types = header["TYPE"].split()
+        # PCD COUNT: elements per field (default 1). COUNT>1 fields (PCL '_'
+        # padding, histograms) change the record stride; ignoring them
+        # silently decodes garbage coordinates.
+        counts = [int(c) for c in header.get("COUNT", "").split()] or \
+            [1] * len(fields)
+        eoff = np.cumsum([0] + counts[:-1])
         if mode == "ascii":
             data = np.loadtxt(f, dtype=np.float32, max_rows=n)
             if data.ndim == 1:
                 data = data[None]
         else:  # binary
-            dtype = np.dtype({
-                "names": fields,
-                "formats": [f"{t.lower()}{s}" for t, s in zip(types, sizes)],
-            })
+            formats = []
+            for t, s, c in zip(types, sizes, counts):
+                fmt = f"{t.lower()}{s}"
+                formats.append(fmt if c == 1 else (fmt, (c,)))
+            dtype = np.dtype({"names": fields, "formats": formats})
             raw = np.frombuffer(f.read(n * dtype.itemsize), dtype=dtype, count=n)
-            data = np.stack([raw["x"], raw["y"], raw["z"]], -1).astype(np.float32)
-            return data
-        ix, iy, iz = fields.index("x"), fields.index("y"), fields.index("z")
+            cols = []
+            for name in ("x", "y", "z"):
+                col = raw[name]
+                cols.append(col[:, 0] if col.ndim > 1 else col)
+            return np.stack(cols, -1).astype(np.float32)
+        ix, iy, iz = (int(eoff[fields.index(a)]) for a in ("x", "y", "z"))
         return data[:, [ix, iy, iz]].astype(np.float32)
 
 

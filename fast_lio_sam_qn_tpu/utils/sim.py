@@ -29,20 +29,28 @@ class World:
         o = np.array
         w = World()
         # floor / ceiling
-        w.surfaces.append((o([0.0, -width / 2, 0.0]), o([length, 0, 0]), o([0, width, 0])))
-        w.surfaces.append((o([0.0, -width / 2, height]), o([length, 0, 0]), o([0, width, 0])))
+        w.surfaces.append((o([0.0, -width / 2, 0.0]), o([length, 0, 0]),
+                           o([0, width, 0])))
+        w.surfaces.append((o([0.0, -width / 2, height]), o([length, 0, 0]),
+                           o([0, width, 0])))
         # side walls
-        w.surfaces.append((o([0.0, -width / 2, 0.0]), o([length, 0, 0]), o([0, 0, height])))
-        w.surfaces.append((o([0.0, width / 2, 0.0]), o([length, 0, 0]), o([0, 0, height])))
+        w.surfaces.append((o([0.0, -width / 2, 0.0]), o([length, 0, 0]),
+                           o([0, 0, height])))
+        w.surfaces.append((o([0.0, width / 2, 0.0]), o([length, 0, 0]),
+                           o([0, 0, height])))
         # end walls
-        w.surfaces.append((o([0.0, -width / 2, 0.0]), o([0, width, 0]), o([0, 0, height])))
-        w.surfaces.append((o([length, -width / 2, 0.0]), o([0, width, 0]), o([0, 0, height])))
+        w.surfaces.append((o([0.0, -width / 2, 0.0]), o([0, width, 0]),
+                           o([0, 0, height])))
+        w.surfaces.append((o([length, -width / 2, 0.0]), o([0, width, 0]),
+                           o([0, 0, height])))
         # pillars (pairs of small walls) every 10 m, alternating sides
         for i, x in enumerate(np.arange(5.0, length - 4.0, 10.0)):
             s = -1 if i % 2 == 0 else 1
             y = s * (width / 2 - 1.0)
-            w.surfaces.append((o([x, y, 0.0]), o([0.5, 0, 0]), o([0, 0, height])))
-            w.surfaces.append((o([x, y - s * 0.5, 0.0]), o([0.5, 0, 0]), o([0, 0, height])))
+            w.surfaces.append((o([x, y, 0.0]), o([0.5, 0, 0]),
+                               o([0, 0, height])))
+            w.surfaces.append((o([x, y - s * 0.5, 0.0]), o([0.5, 0, 0]),
+                               o([0, 0, height])))
         return w
 
     @staticmethod

@@ -111,7 +111,9 @@ def test_lio_map_export_and_archive_roundtrip(tmp_path):
         poses, pipe.get_corrected_keyframe_poses(), atol=1e-6)
 
 
-def test_keyframe_capacity_guard():
+def test_keyframe_capacity_grows():
+    """Overflow re-pads (doubles) the device store instead of raising —
+    SURVEY §5's amortized growth (VERDICT r1 item 6)."""
     import jax.numpy as jnp
     from fast_lio_sam_qn_tpu.models.pipeline import FastLioSamQnPipeline
     from fast_lio_sam_qn_tpu.utils.config import Capacities, PipelineConfig
@@ -129,8 +131,10 @@ def test_keyframe_capacity_guard():
     T2 = np.eye(4); T2[0, 3] = 5.0
     pipe.feed(T2, cloud, mask, 0.1)
     T3 = np.eye(4); T3[0, 3] = 10.0
-    with pytest.raises(RuntimeError, match="capacity"):
-        pipe.feed(T3, cloud, mask, 0.2)
+    pipe.feed(T3, cloud, mask, 0.2)
+    assert pipe.current_kf_idx == 3
+    assert pipe.store.capacity == 4
+    assert pipe.graph.poses.shape[0] == 4
 
 
 def test_plot_results(tmp_path):

@@ -147,3 +147,24 @@ def test_load_actual_kitti_lio_yaml():
     assert lio.scan_line == 64
     assert lio.blind == 2.0
     assert lio.extrinsic_T == (0.81, -0.32, 0.8)
+
+
+def test_strict_parity_default_on_reference_yaml():
+    """A config loaded from the reference's own YAML reproduces reference
+    loop acceptance: fitness-only (loop_closure.cpp:129), raw isotropic
+    loop noise (fast_lio_sam_qn.cpp:226-233) — every beyond-reference gate
+    off (VERDICT r1 item 5)."""
+    cfg = load_reference_yaml(REFERENCE_YAML)
+    assert cfg.loop.consensus_window == 0
+    assert cfg.loop.degeneracy_gate is False
+    assert cfg.loop.loop_batch == 0
+    assert cfg.robust_delta == 0.0
+    # native path keeps the robust defaults
+    native = load_reference_yaml(REFERENCE_YAML, strict_parity=False)
+    assert native.loop.consensus_window == 10
+    assert native.loop.degeneracy_gate is True
+    assert native.robust_delta == 1.0
+    # and so does the plain constructor
+    plain = PipelineConfig()
+    assert plain.loop.consensus_window == 10
+    assert plain.robust_delta == 1.0

@@ -1,5 +1,4 @@
 """Unit-level validation of the IESEKF internals (finite differences)."""
-import jax
 import jax.numpy as jnp
 import numpy as np
 

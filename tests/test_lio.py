@@ -1,9 +1,8 @@
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from fast_lio_sam_qn_tpu.models.lio import LIO, LioState
+from fast_lio_sam_qn_tpu.models.lio import LIO
 from fast_lio_sam_qn_tpu.ops import ieskf, se3
 from fast_lio_sam_qn_tpu.utils import sim
 from fast_lio_sam_qn_tpu.utils.config import LioConfig

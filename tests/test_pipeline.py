@@ -221,3 +221,74 @@ def test_consensus_gate_blocks_isolated_outlier():
     assert len(pipe.loop_idx_pairs) == n0 + 2
     committed = set(pipe.loop_idx_pairs[-2:])
     assert (5, 1) in committed and (5, 2) in committed
+
+
+def test_capacity_growth_keyframes_and_loops():
+    """Overflowing the padded capacities re-pads (doubles) instead of
+    crashing or dropping (VERDICT r1 item 6; the reference's containers
+    grow unboundedly, fast_lio_sam_qn.cpp:127-130)."""
+    cfg = PipelineConfig()
+    cfg.caps = Capacities(max_keyframes=4, max_loop_factors=1,
+                          keyframe_points=256, src_points=256,
+                          dst_points=512)
+    cfg.loop.loop_detection_radius = 0.0  # no loop attempts
+    pipe = FastLioSamQnPipeline(cfg)
+    cloud = np.zeros((64, 3), np.float32)
+    mask = np.ones(64, bool)
+    T = np.eye(4, dtype=np.float32)
+    for i in range(10):  # 10 keyframes > 2x the initial capacity of 4
+        T = T.copy()
+        T[0, 3] = 2.0 * i
+        pipe.feed(jnp.asarray(T), jnp.asarray(cloud), jnp.asarray(mask),
+                  float(i))
+    assert pipe.current_kf_idx == 10
+    assert pipe.store.capacity >= 10
+    assert pipe.graph.poses.shape[0] == pipe.store.capacity
+    assert int(pipe.graph.num_nodes) == 10
+    # graph still optimizes correctly after growth
+    got = np.asarray(pipe.graph.poses[9])
+    assert np.allclose(got[0, 3], 18.0, atol=1e-2)
+
+    # loop-factor growth: force two loop factors past the capacity of 1
+    pipe._add_loop_factor(8, 0, jnp.eye(4), 0.5)
+    pipe._add_loop_factor(9, 1, jnp.eye(4), 0.5)
+    assert int(pipe.graph.num_loops) == 2
+    assert pipe.graph.loop_i.shape[0] >= 2
+    pipe._optimize_and_refresh()  # recompiles at the new static shape
+    assert np.isfinite(np.asarray(pipe.graph.poses[:10])).all()
+
+
+def test_consensus_gate_vs_strict_parity_commit():
+    """With the consensus window on (native default), a single accepted
+    loop is NOT committed; in strict parity (reference semantics) it
+    commits immediately on the fitness gate alone (VERDICT r1 item 5;
+    loop_closure.cpp:129 accepts on fitness only)."""
+    from fast_lio_sam_qn_tpu.utils.config import load_reference_yaml
+
+    def prime(cfg):
+        pipe = FastLioSamQnPipeline(cfg)
+        cloud = np.zeros((64, 3), np.float32)
+        mask = np.ones(64, bool)
+        for i in range(3):
+            T = np.eye(4, dtype=np.float32)
+            T[0, 3] = 2.0 * i
+            pipe.feed(jnp.asarray(T), jnp.asarray(cloud),
+                      jnp.asarray(mask), float(i))
+        return pipe
+
+    caps = Capacities(max_keyframes=8, max_loop_factors=4,
+                      keyframe_points=256, src_points=256, dst_points=512)
+
+    native = PipelineConfig()
+    native.caps = caps
+    native.loop.loop_detection_radius = 0.0
+    p1 = prime(native)
+    p1._consensus_commit(2, 0, jnp.eye(4), 0.5)
+    assert len(p1.loop_idx_pairs) == 0  # held pending consensus
+
+    parity = load_reference_yaml({})  # strict parity by default
+    parity.caps = dataclasses.replace(caps)
+    parity.loop.loop_detection_radius = 0.0
+    p2 = prime(parity)
+    p2._consensus_commit(2, 0, jnp.eye(4), 0.5)
+    assert len(p2.loop_idx_pairs) == 1  # committed immediately

@@ -84,3 +84,94 @@ def test_run_requires_mode():
 
     with pytest.raises(SystemExit):
         main(["--out", "/tmp/x"])
+
+
+def test_run_parity_approx_time_sync(kitti_style_dir, tmp_path, capsys):
+    """--odom-times pairs the scan/odom streams via ApproximateTime and
+    DROPS unmatched frames, reproducing the reference's message_filters
+    sync of /Odometry + /cloud_registered (fast_lio_sam_qn.cpp:75-78;
+    VERDICT r1 item 8)."""
+    from fast_lio_sam_qn_tpu.run import main
+    from fast_lio_sam_qn_tpu.utils.io import save_poses_kitti
+
+    d, traj = kitti_style_dir
+    period = 0.1
+    scan_times = np.loadtxt(os.path.join(d, "times.txt"))  # 30 stamps
+    # odometry stream: slightly offset stamps, with stamps 5..9 MISSING
+    keep = [i for i in range(30) if not (5 <= i < 10)]
+    odom_times = scan_times[keep] + 0.012
+    poses = np.stack([traj.pose((i + 1) * period) for i in keep])
+    pose_file = str(tmp_path / "odom.txt")
+    save_poses_kitti(pose_file, poses)
+    ot_file = str(tmp_path / "odom_times.txt")
+    np.savetxt(ot_file, odom_times)
+    rc = main(["--scans", os.path.join(d, "scans"), "--poses", pose_file,
+               "--stamps", os.path.join(d, "times.txt"),
+               "--odom-times", ot_file, "--sync-slop", "0.05",
+               "--preset", "sim", "--out", str(tmp_path / "out")])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["mode"] == "parity"
+    # 25 matched pairs; the 5 scans without odometry are dropped
+    assert report["scans"] == 25
+    assert report["dropped_unmatched"] == 5
+    assert report["keyframes"] >= 1
+
+
+def test_kitti_checkpoint_resume_roundtrip(kitti_style_dir, tmp_path,
+                                           capsys):
+    """--checkpoint-every + --resume reproduce the uninterrupted run
+    (VERDICT r1 item 9): run 30 scans straight, then 15 + resume 15, and
+    compare final keyframe trajectories."""
+    from fast_lio_sam_qn_tpu.run import main
+    from fast_lio_sam_qn_tpu.utils import io
+
+    d, _ = kitti_style_dir
+    # uninterrupted
+    rc = main(["--kitti", d, "--preset", "sim",
+               "--out", str(tmp_path / "full")])
+    assert rc == 0
+    full = json.loads(capsys.readouterr().out)
+    # first half, checkpointing at scan 15
+    ck = str(tmp_path / "state.npz")
+    rc = main(["--kitti", d, "--preset", "sim", "--n-scans", "15",
+               "--checkpoint", ck])
+    assert rc == 0
+    capsys.readouterr()
+    # resume and finish
+    rc = main(["--kitti", d, "--preset", "sim", "--resume", ck,
+               "--out", str(tmp_path / "resumed")])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["resumed_at"] == 15
+    assert res["keyframes"] == full["keyframes"]
+    p_full = io.load_poses_kitti(
+        os.path.join(full["exported_to"], "poses_kitti.txt"))
+    p_res = io.load_poses_kitti(
+        os.path.join(res["exported_to"], "poses_kitti.txt"))
+    np.testing.assert_allclose(p_res, p_full, atol=1e-4)
+
+
+def test_watch_and_save_trigger(kitti_style_dir, tmp_path, capsys):
+    """--watch dumps incremental trajectories; --save-trigger exports
+    mid-run when the trigger file appears (the /save_dir equivalent,
+    fast_lio_sam_qn.cpp:327)."""
+    from fast_lio_sam_qn_tpu.run import main
+
+    d, _ = kitti_style_dir
+    watch = tmp_path / "watch"
+    trig = tmp_path / "save_now"
+    dest = tmp_path / "midrun"
+    # trigger exists from the start: first tick consumes it
+    trig.write_text(str(dest))
+    rc = main(["--kitti", d, "--preset", "sim",
+               "--watch", str(watch), "--save-trigger", str(trig)])
+    assert rc == 0
+    capsys.readouterr()
+    assert (watch / "corrected_path.txt").exists()
+    assert (watch / "odom_path.txt").exists()
+    assert (watch / "loops.json").exists()
+    assert not trig.exists()  # consumed
+    import glob as _glob
+    assert _glob.glob(str(dest / "**" / "poses_kitti.txt"),
+                      recursive=True)  # mid-run export happened

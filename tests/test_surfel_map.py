@@ -1,7 +1,5 @@
-import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from fast_lio_sam_qn_tpu.ops import surfel_map
 from fast_lio_sam_qn_tpu.utils import sim
