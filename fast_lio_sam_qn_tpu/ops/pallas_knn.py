@@ -86,6 +86,31 @@ def _knn_kernel(k: int, n_db: int, feat: int, td: int):
             col = jax.lax.broadcasted_iota(jnp.int32, (TQ, td), 1) + t * td
             keys = (d2.view(jnp.int32) & ~idx_mask) | col
 
+            if k >= 4:
+                # pair tournament: fold the tile into (min, max) halves so
+                # each extraction scans td/2 keys (min + eq + two selects =
+                # ~2*td element-passes vs ~3*td direct — measured ~1.4x on
+                # the k=32 FPFH path). Keys are unique, so exactly one
+                # position matches the extracted min; its partner is
+                # promoted and the pair retired with _IMAX.
+                half = td // 2
+                rmin = jnp.minimum(keys[:, :half], keys[:, half:])
+                rmax = jnp.maximum(keys[:, :half], keys[:, half:])
+
+                def extract(j, c2):
+                    rmin, rmax, cand_key = c2
+                    m = jnp.min(rmin, axis=1)          # (TQ,) packed min
+                    sel_c = cand_slot == (t * k + j)
+                    cand_key = jnp.where(sel_c, m[:, None], cand_key)
+                    sel = rmin == m[:, None]
+                    rmin = jnp.where(sel, rmax, rmin)
+                    rmax = jnp.where(sel, jnp.int32(_IMAX), rmax)
+                    return (rmin, rmax, cand_key)
+
+                _, _, cand_key = jax.lax.fori_loop(
+                    0, k, extract, (rmin, rmax, cand_key))
+                return cand_key
+
             def extract(j, c2):
                 keys, cand_key = c2
                 m = jnp.min(keys, axis=1)              # (TQ,) packed min

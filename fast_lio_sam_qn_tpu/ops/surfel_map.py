@@ -6,18 +6,29 @@ plane fits per query point per IESEKF iteration, each voxel accumulates the
 FULL second-order moments (count, sum, outer-product sum) of every point
 ever inserted — pure scatter-adds, the friendliest possible op shape for
 XLA — and caches a fitted plane (normal, offset, validity) computed from
-its 3^3 neighborhood's combined moments at insert time.
+its neighborhood's combined moments at insert time.
 
-Queries then cost ONE probed lookup per point: gather (n, d, valid) and the
-point-to-plane residual is n.p + d. The expensive work (neighborhood moment
-gathers + batched 3x3 eigendecompositions) runs once per scan over the
-TOUCHED voxels only, instead of 3x per scan over every scan point.
+Queries then cost ONE probed lookup per point: gather the packed plane row
+and the point-to-plane residual is n.p + d. The expensive work
+(neighborhood moment gathers + batched 3x3 eigendecompositions) runs once
+per scan over the TOUCHED voxels only, instead of 3x per scan over every
+scan point.
 
-Accuracy note: planes fit over accumulated moments of a 1.5 x res
-neighborhood — a true surfel map (cf. VoxelMap / PV-LIO [external]) rather
-than FAST-LIO's 5-NN instantaneous fits; neighbors' cached planes go
-slightly stale until they are next touched (documented approximation; the
-map converges over scans, much like ikd-tree's amortized rebalancing).
+PACKED LAYOUT (round 2): the per-scan insert is scatter/gather-OP-bound on
+TPU (~1-3 ms per 32k-row scatter call regardless of row width), so the
+table stores
+  - ``mom``   (T, 10): [count, psum(3), m2_sym(6 — xx yy zz xy xz yz)]
+  - ``plane`` (T, 6):  [n(3), d, valid, halo_dirty]
+and every stage issues ONE scatter/gather per table instead of 3-4 per
+field (measured: 3-field moment scatter 8.9 ms -> one packed scatter; the
+m2 symmetry also cuts moment bytes 13 -> 10). Convenience properties
+(`count`, `psum`, `m2`, `plane_n`, ...) unpack views for tests/exports.
+
+Accuracy note: planes fit over accumulated moments of a face (7-voxel) or
+3^3 neighborhood — a true surfel map (cf. VoxelMap / PV-LIO [external])
+rather than FAST-LIO's 5-NN instantaneous fits; neighbors' cached planes
+go slightly stale until they are next touched (documented approximation;
+the map converges over scans, much like ikd-tree's amortized rebalancing).
 """
 from __future__ import annotations
 
@@ -37,18 +48,42 @@ _INT_MAX = jnp.iinfo(jnp.int32).max
 class SurfelMap(NamedTuple):
     coords: jax.Array      # (T, 3) i32 voxel coords (key verification)
     occupied: jax.Array    # (T,) bool
-    count: jax.Array       # (T,) f32 — accumulated point count
-    psum: jax.Array        # (T, 3) f32 — sum of (p - voxel_center)
-    m2: jax.Array          # (T, 3, 3) f32 — sum of centered outer products
-    plane_n: jax.Array     # (T, 3) cached plane normal
-    plane_d: jax.Array     # (T,) cached plane offset (n.x + d = 0)
-    plane_valid: jax.Array  # (T,)
-    halo_dirty: jax.Array  # (T,) plane changed since last halo propagation
+    mom: jax.Array         # (T, 10) packed center-relative moments
+    plane: jax.Array       # (T, 6) packed cached plane + flags
     res: float             # static voxel edge
 
     @property
     def table_size(self) -> int:
         return self.coords.shape[0]
+
+    # ---- unpacked views (tests/exports; hot paths use packed rows) ----
+    @property
+    def count(self) -> jax.Array:
+        return self.mom[:, 0]
+
+    @property
+    def psum(self) -> jax.Array:
+        return self.mom[:, 1:4]
+
+    @property
+    def m2(self) -> jax.Array:
+        return _sym_to_mat(self.mom[:, 4:10])
+
+    @property
+    def plane_n(self) -> jax.Array:
+        return self.plane[:, :3]
+
+    @property
+    def plane_d(self) -> jax.Array:
+        return self.plane[:, 3]
+
+    @property
+    def plane_valid(self) -> jax.Array:
+        return self.plane[:, 4] > 0.5
+
+    @property
+    def halo_dirty(self) -> jax.Array:
+        return self.plane[:, 5] > 0.5
 
 
 # a refit marks a voxel halo-dirty when its plane moved by more than these
@@ -58,19 +93,39 @@ _HALO_COS_TOL = 0.9986
 _HALO_D_TOL = 0.02
 
 
+def _sym_to_mat(s: jax.Array) -> jax.Array:
+    """(..., 6) [xx yy zz xy xz yz] -> (..., 3, 3) symmetric matrix."""
+    xx, yy, zz, xy, xz, yz = (s[..., i] for i in range(6))
+    return jnp.stack([
+        jnp.stack([xx, xy, xz], -1),
+        jnp.stack([xy, yy, yz], -1),
+        jnp.stack([xz, yz, zz], -1),
+    ], -2)
+
+
+def _outer_sym(v: jax.Array) -> jax.Array:
+    """(..., 3) -> (..., 6) symmetric outer product [xx yy zz xy xz yz]."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack([x * x, y * y, z * z, x * y, x * z, y * z], -1)
+
+
+def _cross_sym(a: jax.Array, b: jax.Array) -> jax.Array:
+    """sym(a b^T + b a^T) in packed form."""
+    ax, ay, az = a[..., 0], a[..., 1], a[..., 2]
+    bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
+    return jnp.stack([
+        2 * ax * bx, 2 * ay * by, 2 * az * bz,
+        ax * by + ay * bx, ax * bz + az * bx, ay * bz + az * by], -1)
+
+
 @functools.partial(jax.jit, static_argnames=("res", "table_size"))
 def empty(res: float, table_size: int) -> SurfelMap:
     assert table_size & (table_size - 1) == 0
     return SurfelMap(
         coords=jnp.zeros((table_size, 3), jnp.int32),
         occupied=jnp.zeros((table_size,), bool),
-        count=jnp.zeros((table_size,), jnp.float32),
-        psum=jnp.zeros((table_size, 3), jnp.float32),
-        m2=jnp.zeros((table_size, 3, 3), jnp.float32),
-        plane_n=jnp.zeros((table_size, 3), jnp.float32),
-        plane_d=jnp.zeros((table_size,), jnp.float32),
-        plane_valid=jnp.zeros((table_size,), bool),
-        halo_dirty=jnp.zeros((table_size,), bool),
+        mom=jnp.zeros((table_size, 10), jnp.float32),
+        plane=jnp.zeros((table_size, 6), jnp.float32),
         res=res,
     )
 
@@ -108,8 +163,9 @@ def _neighbor_offsets():
 def _hood_offsets(window: int):
     """Neighborhood offsets for the hood refit. 27 = full 3^3; 7 = center +
     six faces (4x less gather traffic — the dominant insert cost at
-    production scan sizes; the face hood still pools moments across the
-    local surface, it only drops the corner/edge diagonals)."""
+    production scan sizes; the face hood is also SHARPER at creases since
+    it mixes less of adjacent surfaces — measured sim ATE 0.079 m vs 0.22
+    with the full 3^3 hood)."""
     if window == 27:
         return _neighbor_offsets()
     assert window == 7
@@ -118,8 +174,8 @@ def _hood_offsets(window: int):
          [0, 0, 1], [0, 0, -1]], jnp.int32)
 
 
-def _plane_from(cnt, psum, m2, center):
-    """Fit (n, d, thickness, spread) from center-relative moments.
+def _plane_from(cnt, psum, m2_sym, center):
+    """Fit (n, d, thickness, spread) from center-relative packed moments.
 
     Moments MUST be relative to `center` (see _vox_center): the covariance
     subtraction is then between ~res-sized quantities, platform-stable in
@@ -128,15 +184,33 @@ def _plane_from(cnt, psum, m2, center):
     lam0 ~ lam1 ~ 0, pass any thickness gate, and get an arbitrary
     (platform-lottery) normal — measured: 2% of voxels, enough to diverge
     the IESEKF on TPU while the same run converged on CPU."""
-    mean = psum / jnp.maximum(cnt, 1.0)[:, None]          # center-rel
-    cov = m2 / jnp.maximum(cnt, 1.0)[:, None, None] - jnp.einsum(
-        "si,sj->sij", mean, mean, precision="highest")
-    vals, vecs = linalg3.eigh3(cov)
+    denom = jnp.maximum(cnt, 1.0)
+    mean = psum / denom[:, None]                          # center-rel
+    cov_sym = m2_sym / denom[:, None] - _outer_sym(mean)
+    vals, vecs = linalg3.eigh3(_sym_to_mat(cov_sym))
     n = vecs[..., :, 0]
     d = -jnp.sum(n * (center + mean), axis=-1)
     thick = jnp.sqrt(jnp.maximum(vals[..., 0], 0.0))
     spread = jnp.sqrt(jnp.maximum(vals[..., 1], 0.0))     # in-plane
     return n, d, thick, spread
+
+
+def _pack_plane(n, d, valid, dirty):
+    """Rows for the packed plane table."""
+    return jnp.concatenate([
+        n, d[:, None], valid.astype(jnp.float32)[:, None],
+        dirty.astype(jnp.float32)[:, None]], axis=-1)
+
+
+def _plane_changed(n_new, d_new, prev_rows):
+    """Did the fit move past the halo tolerances? Sign-aligned since
+    (n, d) and (-n, -d) are the same plane."""
+    n_prev, d_prev = prev_rows[:, :3], prev_rows[:, 3]
+    v_prev = prev_rows[:, 4] > 0.5
+    dot = jnp.sum(n_new * n_prev, axis=-1)
+    s = jnp.where(dot < 0, -1.0, 1.0)
+    return (~v_prev | (jnp.abs(dot) < _HALO_COS_TOL)
+            | (jnp.abs(d_new - s * d_prev) > _HALO_D_TOL))
 
 
 @functools.partial(
@@ -148,47 +222,37 @@ def _refit_planes(m: SurfelMap, slots: jax.Array, slot_valid: jax.Array,
     """Recompute cached planes for the given slots.
 
     Two-phase adaptive fit:
-    1. OWN-moments fit for every slot (cheap: only the slot's own fields) —
+    1. OWN-moments fit for every slot (cheap: one packed gather) —
        preferred when the voxel is well-populated and tight (sharper at
-       creases, where the 3-voxel hood mixes two surfaces; a handful of
+       creases, where the hood mixes two surfaces; a handful of
        volume-scattered points is often accidentally planar, hence the
        3*min_pts population gate);
-    2. 3^3-neighborhood-moments fit ONLY for the slots whose own fit did
-       not qualify, compacted to a static `hood_cap` — the hood gathers
-       (27 voxels x NUM_PROBES probes x 13 floats per slot) dominate insert
-       cost at production scan sizes. Immature slots beyond the cap keep
-       their previous plane until next touched (amortized refresh, akin to
-       ikd-tree's deferred rebalancing).
+    2. neighborhood-moments fit ONLY for the slots whose own fit did not
+       qualify, compacted to a static `hood_cap` — the hood gathers
+       dominate insert cost at production scan sizes. Immature slots
+       beyond the cap keep their previous plane until next touched
+       (amortized refresh, akin to ikd-tree's deferred rebalancing).
     hood_cap=None processes all slots through the hood path (exact)."""
     s_rows = slots.shape[0]
     min_spread = 0.5 * thickness
-    cnt_o = m.count[slots]
+    mom_o = m.mom[slots]                                  # ONE gather
+    cnt_o = mom_o[:, 0]
     center_o = _vox_center(m.coords[slots], m.res)
     n_o, d_o, th_o, sp_o = _plane_from(
-        cnt_o, m.psum[slots], m.m2[slots], center_o)
+        cnt_o, mom_o[:, 1:4], mom_o[:, 4:10], center_o)
     use_own = (cnt_o >= 3 * min_pts) & (th_o < thickness) & (
         sp_o > min_spread)
 
-    # previous planes (for halo-dirty change detection, sign-aligned since
-    # (n, d) and (-n, -d) are the same plane)
-    n_prev, d_prev = m.plane_n[slots], m.plane_d[slots]
-    v_prev = m.plane_valid[slots]
+    # previous plane rows (change detection + dirty-bit carry)
+    prev_o = m.plane[slots]                               # ONE gather
 
-    def _changed(n_new, d_new):
-        dot = jnp.sum(n_new * n_prev, axis=-1)
-        s = jnp.where(dot < 0, -1.0, 1.0)
-        return (~v_prev | (jnp.abs(dot) < _HALO_COS_TOL)
-                | (jnp.abs(d_new - s * d_prev) > _HALO_D_TOL))
-
-    # phase 1: scatter own-fit planes
+    # phase 1: scatter own-fit plane rows (valid + dirty folded in)
     own_rows = slot_valid & use_own
+    dirty_o = prev_o[:, 5] > 0.5
+    new_dirty_o = dirty_o | _plane_changed(n_o, d_o, prev_o)
+    rows_o = _pack_plane(n_o, d_o, own_rows, new_dirty_o & own_rows)
     safe_o = jnp.where(own_rows, slots, m.table_size)
-    plane_n = m.plane_n.at[safe_o].set(n_o, mode="drop")
-    plane_d = m.plane_d.at[safe_o].set(d_o, mode="drop")
-    plane_valid = m.plane_valid.at[safe_o].set(own_rows, mode="drop")
-    dirty_o = own_rows & _changed(n_o, d_o)
-    halo_dirty = m.halo_dirty.at[
-        jnp.where(dirty_o, slots, m.table_size)].set(True, mode="drop")
+    plane = m.plane.at[safe_o].set(rows_o, mode="drop")   # ONE scatter
 
     # phase 2: hood fit for the rest (compacted when capped)
     need_hood = slot_valid & ~use_own
@@ -202,55 +266,41 @@ def _refit_planes(m: SurfelMap, slots: jax.Array, slot_valid: jax.Array,
     coords = m.coords[h_slots]
     offs = _hood_offsets(hood_window)
 
-    def do_hood(args):
-        plane_n, plane_d, plane_valid, halo_dirty = args
-        ncoords = coords[:, None, :] + offs[None]             # (H, W, 3)
+    def do_hood(plane):
+        ncoords = coords[:, None, :] + offs[None]         # (H, W, 3)
         nslot, nfound = _locate(m, ncoords)
         w = (nfound & h_valid[:, None]).astype(jnp.float32)
         # neighbor moments are relative to THEIR center; shift to the
         # central voxel's center (delta = offset * res, exact in f32)
         # before combining. All magnitudes stay <= 1.5*res: no
         # cancellation, platform-stable.
-        delta = offs.astype(jnp.float32) * m.res              # (W, 3)
-        cnt_j = m.count[nslot] * w                            # (H, W)
-        psum_j = m.psum[nslot] * w[..., None]                 # (H, W, 3)
-        m2_j = m.m2[nslot] * w[..., None, None]               # (H, W, 3, 3)
-        dp = delta[None, :, :, None] * psum_j[:, :, None, :]  # d_a * p_b
-        dd = delta[:, :, None] * delta[:, None, :]            # (W, 3, 3)
-        cnt = jnp.sum(cnt_j, axis=1)                          # (H,)
+        delta = offs.astype(jnp.float32) * m.res          # (W, 3)
+        mom_j = m.mom[nslot] * w[..., None]               # ONE (H, W, 10)
+        cnt_j = mom_j[..., 0]
+        psum_j = mom_j[..., 1:4]
+        m2_j = mom_j[..., 4:10]
+        # m2' = m2 + sym(delta psum^T + psum delta^T) + cnt * sym(delta^2)
+        dsym = _outer_sym(delta)                          # (W, 6)
+        cross = _cross_sym(jnp.broadcast_to(delta, psum_j.shape), psum_j)
+        cnt = jnp.sum(cnt_j, axis=1)                      # (H,)
         psum = jnp.sum(psum_j + cnt_j[..., None] * delta[None], axis=1)
-        m2 = jnp.sum(
-            m2_j + dp + jnp.swapaxes(dp, -1, -2)
-            + cnt_j[..., None, None] * dd[None], axis=1)      # (H, 3, 3)
+        m2 = jnp.sum(m2_j + cross + cnt_j[..., None] * dsym[None], axis=1)
         center_h = _vox_center(coords, m.res)
         n_h, d_h, th_h, sp_h = _plane_from(cnt, psum, m2, center_h)
         h_ok = (cnt >= min_pts) & (th_h < thickness) & (sp_h > min_spread)
-        safe_h = jnp.where(h_valid, h_slots, m.table_size)
-        plane_n = plane_n.at[safe_h].set(n_h, mode="drop")
-        plane_d = plane_d.at[safe_h].set(d_h, mode="drop")
-        plane_valid = plane_valid.at[safe_h].set(h_valid & h_ok,
-                                                 mode="drop")
-        # hood-phase dirty: previous planes gathered at the compacted rows
-        np_h, dp_h = m.plane_n[h_slots], m.plane_d[h_slots]
-        vp_h = m.plane_valid[h_slots]
-        dot_h = jnp.sum(n_h * np_h, axis=-1)
-        s_h = jnp.where(dot_h < 0, -1.0, 1.0)
-        dirty_h = h_valid & h_ok & (
-            ~vp_h | (jnp.abs(dot_h) < _HALO_COS_TOL)
-            | (jnp.abs(d_h - s_h * dp_h) > _HALO_D_TOL))
-        halo_dirty = halo_dirty.at[
-            jnp.where(dirty_h, h_slots, m.table_size)].set(True,
-                                                           mode="drop")
-        return plane_n, plane_d, plane_valid, halo_dirty
+        prev_h = m.plane[h_slots]
+        write = h_valid
+        valid_new = write & h_ok
+        dirty_new = (prev_h[:, 5] > 0.5) | _plane_changed(n_h, d_h, prev_h)
+        rows_h = _pack_plane(n_h, d_h, valid_new, dirty_new & valid_new)
+        safe_h = jnp.where(write, h_slots, m.table_size)
+        return plane.at[safe_h].set(rows_h, mode="drop")  # ONE scatter
 
     # steady-state fast path: no immature voxels this scan -> skip the
     # whole hood gather/fit block (identical semantics: with zero valid
     # rows every hood scatter is a no-op)
-    plane_n, plane_d, plane_valid, halo_dirty = jax.lax.cond(
-        jnp.any(h_valid), do_hood, lambda a: a,
-        (plane_n, plane_d, plane_valid, halo_dirty))
-    return m._replace(plane_n=plane_n, plane_d=plane_d,
-                      plane_valid=plane_valid, halo_dirty=halo_dirty)
+    plane = jax.lax.cond(jnp.any(h_valid), do_hood, lambda p: p, plane)
+    return m._replace(plane=plane)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -263,8 +313,9 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
     cached planes. One scatter-heavy program per scan. hood_cap bounds the
     expensive neighborhood-refit list and halo_cap the halo-propagation
     source list (see _refit_planes / step 4); hood_window = 27 (full 3^3)
-    or 7 (face hood, ~4x cheaper refit gathers). halo=False skips the
-    halo-plane propagation (step 4) — ablation/profiling only."""
+    or 7 (face hood, ~4x cheaper refit gathers and sharper at creases).
+    halo=False skips the halo-plane propagation (step 4) —
+    ablation/profiling only."""
     t = m.table_size
     coords = voxel_coords(points, m.res)
 
@@ -301,21 +352,21 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
     use = mask & found2
     sidx = jnp.where(use, slot2, t)  # dump row
 
-    # 2. scatter-add center-relative moments (see _vox_center for why)
-    cnt_before = m.count[jnp.clip(sidx, 0, t - 1)]  # 0: new or halo-only
+    # 2. scatter-add center-relative moments — ONE packed (n, 10) scatter
+    # (see _vox_center for why center-relative)
+    cnt_before = m.mom[jnp.clip(sidx, 0, t - 1), 0]  # 0: new or halo-only
     w = use.astype(jnp.float32)
     rel = points - _vox_center(coords, m.res)
-    count = jnp.zeros((t + 1,), jnp.float32).at[sidx].add(w)[:t]
-    psum = jnp.zeros((t + 1, 3), jnp.float32).at[sidx].add(
-        rel * w[:, None])[:t]
-    outer = jnp.einsum("ni,nj->nij", rel, rel, precision="highest")
-    m2 = jnp.zeros((t + 1, 3, 3), jnp.float32).at[sidx].add(
-        outer * w[:, None, None])[:t]
-    m = m._replace(count=m.count + count, psum=m.psum + psum, m2=m.m2 + m2)
+    upd = jnp.concatenate(
+        [w[:, None], rel * w[:, None], _outer_sym(rel) * w[:, None]],
+        axis=-1)                                          # (n, 10)
+    added = jnp.zeros((t + 1, 10), jnp.float32).at[sidx].add(upd)[:t]
+    m = m._replace(mom=m.mom + added)
 
     # 3. refit planes of touched voxels (one slot per unique touched voxel;
     # duplicates refit redundantly but harmlessly)
-    valid_before = m.plane_valid[jnp.clip(sidx, 0, t - 1)]  # pre-refit
+    prev_rows = m.plane[jnp.clip(sidx, 0, t - 1)]         # pre-refit
+    valid_before = prev_rows[:, 4] > 0.5
     m = _refit_planes(m, jnp.clip(sidx, 0, t - 1), use, thickness,
                       hood_cap=hood_cap, hood_window=hood_window)
 
@@ -336,18 +387,19 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
     # cnt_before==0 covers newly-claimed slots AND halo-only slots
     # materializing, which must keep extending the halo outward — plus
     # planes that just turned valid) UNION touched voxels whose plane is
-    # HALO-DIRTY (changed since its last propagation — set by _refit_planes
-    # when a refit moves the plane past _HALO_COS_TOL/_HALO_D_TOL). Early
-    # on, planes churn and most touched voxels re-propagate (freezing halos
-    # at creation quality measurably degrades the IESEKF: sim ATE 0.22 ->
-    # 0.47 with 0/13 loops accepted); once the map converges the dirty set
-    # — and the halo cost — shrinks toward zero. Re-fanning ALL 6*n_pts
-    # faces every scan is the naive extreme (~20 ms of the 74 ms insert at
-    # 32k points). Dirty sources beyond halo_cap keep their bit and retry
-    # next scan.
-    valid_after = m.plane_valid[jnp.clip(sidx, 0, t - 1)]
+    # HALO-DIRTY (changed since its last propagation — set by
+    # _refit_planes when a refit moves the plane past
+    # _HALO_COS_TOL/_HALO_D_TOL). Early on, planes churn and most touched
+    # voxels re-propagate (freezing halos at creation quality measurably
+    # degrades the IESEKF: sim ATE 0.22 -> 0.47 with 0/13 loops accepted);
+    # once the map converges the dirty set — and the halo cost — shrinks
+    # toward zero. Re-fanning ALL 6*n_pts faces every scan is the naive
+    # extreme (~20 ms of the 74 ms insert at 32k points). Dirty sources
+    # beyond halo_cap keep their bit and retry next scan.
+    after_rows = m.plane[jnp.clip(sidx, 0, t - 1)]
+    valid_after = after_rows[:, 4] > 0.5
+    dirty = after_rows[:, 5] > 0.5
     frontier = (cnt_before == 0.0) | (valid_after & ~valid_before)
-    dirty = m.halo_dirty[jnp.clip(sidx, 0, t - 1)]
     src_plane_ok = use & valid_after & (frontier | dirty)
     halo_cap = min(n_pts, (halo_cap or n_pts))
     if halo_cap < n_pts:
@@ -361,11 +413,16 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
     else:
         h_src_coords = coords
         h_src_sidx = sidx
+
     def do_halo(m: SurfelMap) -> SurfelMap:
-        # propagated sources are now in sync with their halos
-        m = m._replace(halo_dirty=m.halo_dirty.at[
-            jnp.where(src_plane_ok, jnp.clip(h_src_sidx, 0, t - 1), t)
-        ].set(False, mode="drop"))
+        src_clip = jnp.clip(h_src_sidx, 0, t - 1)
+        # propagated sources are now in sync with their halos: rewrite the
+        # full plane row with the dirty flag cleared (one scatter)
+        src_rows = m.plane[src_clip]
+        cleared = src_rows.at[:, 5].set(0.0)
+        m = m._replace(plane=m.plane.at[
+            jnp.where(src_plane_ok, src_clip, t)
+        ].set(cleared, mode="drop"))
         hcoords = (h_src_coords[:, None, :] + face[None]).reshape(
             halo_cap * 6, 3)
         hmask = jnp.repeat(src_plane_ok, 6)
@@ -389,13 +446,14 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
         # Pick deterministically: the source whose plane best explains the
         # halo voxel's center.
         hslot, hfound2 = _locate(m, hcoords)
-        src_slot = jnp.repeat(jnp.clip(h_src_sidx, 0, t - 1), 6)
-        writable = hmask & hfound2 & (m.count[hslot] == 0.0)
+        src_slot = jnp.repeat(src_clip, 6)
+        src_plane6 = jnp.repeat(cleared, 6, axis=0)       # (6H, 6) rows
+        writable = hmask & hfound2 & (m.mom[hslot, 0] == 0.0)
         widx2 = jnp.where(writable, hslot, t)
         hcenter = _vox_center(hcoords, m.res)
         score = jnp.abs(
-            jnp.sum(m.plane_n[src_slot] * hcenter, axis=-1)
-            + m.plane_d[src_slot])
+            jnp.sum(src_plane6[:, :3] * hcenter, axis=-1)
+            + src_plane6[:, 3])
         score = jnp.where(writable, score, jnp.inf)
         best = jnp.full((t + 1,), jnp.inf, jnp.float32).at[widx2].min(
             score, mode="drop")
@@ -407,16 +465,11 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
             rank, mode="drop")
         win = is_best & (rank == best_rank[jnp.clip(bidx, 0, t - 1)])
         widx3 = jnp.where(win, widx2, t)
+        # one packed scatter copies n, d, valid (dirty already 0).
+        # re-anchoring the plane offset is unnecessary: adjacent voxels of
+        # the same surface share the (n, d) parametrization exactly.
         return m._replace(
-            plane_n=m.plane_n.at[widx3].set(m.plane_n[src_slot],
-                                            mode="drop"),
-            plane_d=m.plane_d.at[widx3].set(
-                # re-anchoring the plane offset is unnecessary: adjacent
-                # voxels of the same surface share (n, d) exactly
-                m.plane_d[src_slot], mode="drop"),
-            plane_valid=m.plane_valid.at[widx3].set(
-                m.plane_valid[src_slot], mode="drop"),
-        )
+            plane=m.plane.at[widx3].set(src_plane6, mode="drop"))
 
     # steady-state fast path: a converged map has no frontier and no dirty
     # planes -> the entire halo fan-out (locate x2 + claim rounds + scored
@@ -430,36 +483,39 @@ def query_planes(m: SurfelMap, points: jax.Array, mask: jax.Array,
                  window: int = 3):
     """Per-point cached plane lookup with neighborhood fallback.
 
-    window=1: own voxel only. window=3: consider all 27 neighboring voxels'
-    cached planes and pick the one whose CENTROID is nearest (critical when
-    the pose estimate lags and points land in not-yet-mapped voxels — the
-    own-voxel-only variant silently loses exactly the residuals that would
-    pull the estimate back; measured 2x worse drift on sparse scans).
+    window=1: own voxel only (ONE packed plane-row gather). window=3:
+    consider all 27 neighboring voxels' cached planes and pick the one
+    whose CENTROID is nearest (critical when the pose estimate lags and
+    points land in not-yet-mapped voxels — the own-voxel-only variant
+    silently loses exactly the residuals that would pull the estimate
+    back; measured 2x worse drift on sparse scans).
 
     Returns (n (N,3), resid (N,), valid (N,)). resid = n.p + d."""
     coords = voxel_coords(points, m.res)
     if window == 1:
         slot, found = _locate(m, coords)
-        n = m.plane_n[slot]
-        d = m.plane_d[slot]
-        valid = mask & found & m.plane_valid[slot]
+        rows = m.plane[slot]                              # ONE gather
+        n = rows[:, :3]
+        d = rows[:, 3]
+        valid = mask & found & (rows[:, 4] > 0.5)
         resid = jnp.sum(n * points, axis=-1) + d
         return (jnp.where(valid[:, None], n, 0.0),
                 jnp.where(valid, resid, 0.0), valid)
     assert window == 3
     ncoords = coords[:, None, :] + _neighbor_offsets()[None]   # (N, 27, 3)
     slot, found = _locate(m, ncoords)                          # (N, 27)
-    ok = found & m.plane_valid[slot] & mask[:, None]
+    rows = m.plane[slot]                                       # (N, 27, 6)
+    mom = m.mom[slot]                                          # (N, 27, 10)
+    ok = found & (rows[..., 4] > 0.5) & mask[:, None]
     centroid = _vox_center(m.coords[slot], m.res) + (
-        m.psum[slot] / jnp.maximum(m.count[slot], 1.0)[..., None])
+        mom[..., 1:4] / jnp.maximum(mom[..., 0], 1.0)[..., None])
     c_d2 = jnp.sum((centroid - points[:, None, :]) ** 2, axis=-1)
     c_d2 = jnp.where(ok, c_d2, jnp.inf)
     j = jnp.argmin(c_d2, axis=-1)
-    rows = jnp.arange(points.shape[0])
-    best_slot = slot[rows, j]
-    valid = jnp.isfinite(c_d2[rows, j])
-    n = m.plane_n[best_slot]
-    d = m.plane_d[best_slot]
+    rows_b = jnp.take_along_axis(rows, j[:, None, None], axis=1)[:, 0]
+    valid = jnp.isfinite(jnp.take_along_axis(c_d2, j[:, None], axis=1)[:, 0])
+    n = rows_b[:, :3]
+    d = rows_b[:, 3]
     resid = jnp.sum(n * points, axis=-1) + d
     return (jnp.where(valid[:, None], n, 0.0),
             jnp.where(valid, resid, 0.0), valid)
@@ -471,15 +527,12 @@ def evict_beyond(m: SurfelMap, center: jax.Array,
     """Drop voxels beyond the moving window (zero their moments so slots
     are reusable)."""
     mean = _vox_center(m.coords, m.res) + (
-        m.psum / jnp.maximum(m.count, 1.0)[:, None])
+        m.mom[:, 1:4] / jnp.maximum(m.mom[:, 0], 1.0)[:, None])
     d2 = jnp.sum((mean - center[None]) ** 2, axis=-1)
     keep = m.occupied & (d2 <= radius * radius)
-    z = ~keep
+    kf = keep.astype(jnp.float32)[:, None]
     return m._replace(
         occupied=keep,
-        count=jnp.where(z, 0.0, m.count),
-        psum=jnp.where(z[:, None], 0.0, m.psum),
-        m2=jnp.where(z[:, None, None], 0.0, m.m2),
-        plane_valid=keep & m.plane_valid,
-        halo_dirty=keep & m.halo_dirty,
+        mom=m.mom * kf,
+        plane=m.plane * kf,  # zeroes valid + dirty flags too
     )

@@ -74,12 +74,33 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double)]
         lib.flsq_sync_destroy.argtypes = [ctypes.c_void_p]
+        u8_p = ctypes.POINTER(ctypes.c_uint8)
+        lib.flsq_lz4_decompress.restype = ctypes.c_int64
+        lib.flsq_lz4_decompress.argtypes = [u8_p, ctypes.c_int64,
+                                            u8_p, ctypes.c_int64]
         _lib = lib
         return _lib
 
 
 def available() -> bool:
     return get_lib() is not None
+
+
+def lz4_decompress(data: bytes, decompressed_size: int) -> bytes:
+    """Decompress a standard LZ4 frame (rosbag lz4 chunk compression).
+    Implemented natively (no lz4 module ships in this environment)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(
+            "lz4 rosbag chunks need the native runtime (g++ unavailable)")
+    src = np.frombuffer(data, np.uint8)
+    dst = np.empty(decompressed_size, np.uint8)
+    n = lib.flsq_lz4_decompress(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(src),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(dst))
+    if n < 0:
+        raise ValueError("corrupt LZ4 frame in rosbag chunk")
+    return dst[:n].tobytes()
 
 
 def read_scan(path: str, cap: int = 1 << 18) -> np.ndarray:

@@ -310,4 +310,99 @@ int flsq_sync_pop(void* h, int64_t* ida, int64_t* idb, double* ta,
 
 void flsq_sync_destroy(void* h) { delete (Sync*)h; }
 
+// ---------------------------------------------------------------------------
+// LZ4 decompression (rosbag chunk compression=lz4 uses standard LZ4 frames;
+// no lz4 library ships in this environment, so the block + frame decoders
+// are implemented here). Returns decompressed size or -1 on error.
+// ---------------------------------------------------------------------------
+
+// raw LZ4 block: token -> literals -> (offset, matchlen) repeat
+static int64_t lz4_block_decode(const uint8_t* src, int64_t srclen,
+                                uint8_t* dst, int64_t dstcap) {
+    const uint8_t* sp = src;
+    const uint8_t* send = src + srclen;
+    uint8_t* dp = dst;
+    uint8_t* dend = dst + dstcap;
+    while (sp < send) {
+        uint8_t token = *sp++;
+        int64_t litlen = token >> 4;
+        if (litlen == 15) {
+            uint8_t b;
+            do {
+                if (sp >= send) return -1;
+                b = *sp++;
+                litlen += b;
+            } while (b == 255);
+        }
+        if (sp + litlen > send || dp + litlen > dend) return -1;
+        std::memcpy(dp, sp, (size_t)litlen);
+        sp += litlen;
+        dp += litlen;
+        if (sp >= send) break;  // last literals, no match
+        if (sp + 2 > send) return -1;
+        int64_t offset = sp[0] | (sp[1] << 8);
+        sp += 2;
+        if (offset == 0 || dp - dst < offset) return -1;
+        int64_t mlen = (token & 0x0F);
+        if (mlen == 15) {
+            uint8_t b;
+            do {
+                if (sp >= send) return -1;
+                b = *sp++;
+                mlen += b;
+            } while (b == 255);
+        }
+        mlen += 4;
+        if (dp + mlen > dend) return -1;
+        const uint8_t* mp = dp - offset;
+        for (int64_t i = 0; i < mlen; ++i) dp[i] = mp[i];  // may overlap
+        dp += mlen;
+    }
+    return dp - dst;
+}
+
+// LZ4 frame (magic 0x184D2204): used by rosbag lz4 chunks
+int64_t flsq_lz4_decompress(const uint8_t* src, int64_t srclen,
+                            uint8_t* dst, int64_t dstcap) {
+    if (srclen < 7) return -1;
+    uint32_t magic;
+    std::memcpy(&magic, src, 4);
+    if (magic != 0x184D2204u) return -1;
+    const uint8_t* sp = src + 4;
+    const uint8_t* send = src + srclen;
+    uint8_t flg = *sp++;
+    sp++;  // BD byte
+    bool b_checksum = (flg >> 4) & 1;
+    bool c_size = (flg >> 3) & 1;
+    bool c_checksum = (flg >> 2) & 1;
+    (void)c_checksum;
+    if ((flg >> 6) != 1) return -1;  // version must be 01
+    if (flg & 1) sp += 4;            // DictID
+    if (c_size) sp += 8;
+    sp++;  // header checksum
+    uint8_t* dp = dst;
+    for (;;) {
+        if (sp + 4 > send) return -1;
+        uint32_t bsz;
+        std::memcpy(&bsz, sp, 4);
+        sp += 4;
+        if (bsz == 0) break;  // EndMark
+        bool uncompressed = bsz & 0x80000000u;
+        bsz &= 0x7FFFFFFFu;
+        if (sp + bsz > send) return -1;
+        if (uncompressed) {
+            if (dp + bsz > dst + dstcap) return -1;
+            std::memcpy(dp, sp, bsz);
+            dp += bsz;
+        } else {
+            int64_t n = lz4_block_decode(sp, bsz, dp, dstcap - (dp - dst));
+            if (n < 0) return -1;
+            dp += n;
+        }
+        sp += bsz;
+        if (b_checksum) sp += 4;
+    }
+    return dp - dst;
+}
+
 }  // extern "C"

@@ -142,7 +142,9 @@ def main():
     print(f"claim rounds:       "
           f"{amortized_ms(claim, (pts, jnp.float32(0))):8.2f} ms", flush=True)
 
-    # --- stage: moment scatter-add ---
+    # --- stage: packed moment scatter-add (one (n, 10) scatter) ---
+    from fast_lio_sam_qn_tpu.ops.surfel_map import _outer_sym
+
     def moments(c, i):
         p, acc = c
         coords = voxel_coords(p + 1e-6 * i, RES)
@@ -151,15 +153,14 @@ def main():
         sidx = jnp.where(use, slot, TABLE)
         w = use.astype(jnp.float32)
         rel = p - _vox_center(coords, RES)
-        count = jnp.zeros((TABLE + 1,), jnp.float32).at[sidx].add(w)[:TABLE]
-        psum = jnp.zeros((TABLE + 1, 3), jnp.float32).at[sidx].add(
-            rel * w[:, None])[:TABLE]
-        outer = jnp.einsum("ni,nj->nij", rel, rel, precision="highest")
-        m2 = jnp.zeros((TABLE + 1, 3, 3), jnp.float32).at[sidx].add(
-            outer * w[:, None, None])[:TABLE]
-        tot = (m.count + count)[0] + psum[0, 0] + m2[0, 0, 0]
+        upd = jnp.concatenate(
+            [w[:, None], rel * w[:, None], _outer_sym(rel) * w[:, None]],
+            axis=-1)
+        added = jnp.zeros((TABLE + 1, 10), jnp.float32).at[sidx].add(
+            upd)[:TABLE]
+        tot = (m.mom + added)[0, 0]
         return (p, acc + tot * 1e-9)
-    print(f"moment scatters:    "
+    print(f"moment scatter:     "
           f"{amortized_ms(moments, (pts, jnp.float32(0))):8.2f} ms", flush=True)
 
     # --- stage: refit (own + hood) ---

@@ -1,0 +1,219 @@
+"""runtime/rosbag.py + tools/bag_convert.py against synthetic bags
+(record framing per the rosbag 2.0 on-disk format; none/bz2/lz4 chunks)."""
+import bz2
+import struct
+
+import numpy as np
+
+from fast_lio_sam_qn_tpu.runtime.rosbag import (
+    BagReader, decode_imu, decode_odometry, decode_pointcloud2)
+
+
+# --------------------------- bag writer helpers ---------------------------
+
+def _field(name: str, value: bytes) -> bytes:
+    item = name.encode() + b"=" + value
+    return struct.pack("<I", len(item)) + item
+
+
+def _record(fields: dict, data: bytes) -> bytes:
+    hdr = b"".join(_field(k, v) for k, v in fields.items())
+    return struct.pack("<I", len(hdr)) + hdr + struct.pack(
+        "<I", len(data)) + data
+
+
+def _string(s: str) -> bytes:
+    b = s.encode()
+    return struct.pack("<I", len(b)) + b
+
+
+def _ros_header(stamp: float, frame="lidar") -> bytes:
+    sec = int(stamp)
+    nsec = int(round((stamp - sec) * 1e9))
+    return struct.pack("<III", 0, sec, nsec) + _string(frame)
+
+
+def _pointcloud2(stamp: float, xyzi: np.ndarray,
+                 rel_t: np.ndarray | None = None) -> bytes:
+    n = len(xyzi)
+    fields = [("x", 0, 7, 1), ("y", 4, 7, 1), ("z", 8, 7, 1),
+              ("intensity", 12, 7, 1)]
+    step = 16
+    payload = xyzi.astype(np.float32)
+    if rel_t is not None:
+        fields.append(("time", 16, 7, 1))
+        step = 20
+        payload = np.concatenate(
+            [payload, rel_t.astype(np.float32)[:, None]], -1)
+    buf = _ros_header(stamp)
+    buf += struct.pack("<II", 1, n)                     # height, width
+    buf += struct.pack("<I", len(fields))
+    for name, off, dt, cnt in fields:
+        buf += _string(name) + struct.pack("<IBI", off, dt, cnt)
+    buf += struct.pack("<B", 0)                         # little endian
+    buf += struct.pack("<II", step, step * n)
+    raw = payload.tobytes()
+    buf += struct.pack("<I", len(raw)) + raw
+    buf += struct.pack("<B", 1)                         # is_dense
+    return buf
+
+
+def _imu(stamp: float, gyro, acc) -> bytes:
+    buf = _ros_header(stamp, "imu")
+    buf += struct.pack("<4d", 0, 0, 0, 1) + struct.pack("<9d", *([0] * 9))
+    buf += struct.pack("<3d", *gyro) + struct.pack("<9d", *([0] * 9))
+    buf += struct.pack("<3d", *acc) + struct.pack("<9d", *([0] * 9))
+    return buf
+
+
+def _odom(stamp: float, xyz) -> bytes:
+    buf = _ros_header(stamp, "odom")
+    buf += _string("base")
+    buf += struct.pack("<3d", *xyz) + struct.pack("<4d", 0, 0, 0, 1)
+    buf += struct.pack("<36d", *([0] * 36))
+    buf += struct.pack("<6d", *([0] * 6)) + struct.pack("<36d", *([0] * 36))
+    return buf
+
+
+def _conn_record(cid: int, topic: str, mtype: str) -> bytes:
+    inner = (_field("topic", topic.encode())
+             + _field("type", mtype.encode())
+             + _field("md5sum", b"0" * 32)
+             + _field("message_definition", b""))
+    return _record({"op": b"\x07", "conn": struct.pack("<I", cid),
+                    "topic": topic.encode()}, inner)
+
+
+def _msg_record(cid: int, stamp: float, data: bytes) -> bytes:
+    sec = int(stamp)
+    nsec = int(round((stamp - sec) * 1e9))
+    tval = struct.pack("<Q", (sec << 32) | nsec)
+    return _record({"op": b"\x02", "conn": struct.pack("<I", cid),
+                    "time": tval}, data)
+
+
+def _lz4_frame(payload: bytes, compressed_first_block=True) -> bytes:
+    """Standard LZ4 frame; first block literals-only compressed, the rest
+    stored uncompressed (both paths of the native decoder exercised)."""
+    out = struct.pack("<I", 0x184D2204)
+    out += bytes([0x60, 0x40, 0x00])  # FLG (v01), BD, header checksum
+    half = len(payload) // 2
+    a, b = payload[:half], payload[half:]
+    if compressed_first_block and 0 < len(a) < 4000:
+        # literals-only LZ4 block
+        lit = len(a)
+        if lit < 15:
+            blk = bytes([lit << 4]) + a
+        else:
+            ext = lit - 15
+            extb = b""
+            while ext >= 255:
+                extb += b"\xff"
+                ext -= 255
+            extb += bytes([ext])
+            blk = bytes([0xF0]) + extb + a
+        out += struct.pack("<I", len(blk)) + blk
+    elif a:
+        out += struct.pack("<I", 0x80000000 | len(a)) + a
+    if b:
+        out += struct.pack("<I", 0x80000000 | len(b)) + b
+    out += struct.pack("<I", 0)  # EndMark
+    return out
+
+
+def _write_bag(path, compression="none", with_odom=False):
+    rng = np.random.default_rng(0)
+    records = b""
+    records += _conn_record(0, "/os_cloud_node/points",
+                            "sensor_msgs/PointCloud2")
+    records += _conn_record(1, "/os_cloud_node/imu", "sensor_msgs/Imu")
+    if with_odom:
+        records += _conn_record(2, "/Odometry", "nav_msgs/Odometry")
+    scans = []
+    for i in range(3):
+        t = 100.0 + 0.1 * (i + 1)
+        xyzi = rng.normal(0, 5, (50, 4)).astype(np.float32)
+        rel = np.linspace(0, 0.1, 50).astype(np.float32)
+        scans.append((t, xyzi))
+        records += _msg_record(0, t, _pointcloud2(t, xyzi, rel))
+        if with_odom:
+            records += _msg_record(2, t, _odom(t, [0.5 * i, 0.0, 0.0]))
+    for j in range(30):
+        t = 100.0 + 0.01 * j
+        records += _msg_record(
+            1, t, _imu(t, [0.01, 0.02, 0.03], [0.1, 0.2, 9.8]))
+
+    if compression == "none":
+        chunk = _record({"op": b"\x05", "compression": b"none",
+                         "size": struct.pack("<I", len(records))}, records)
+    elif compression == "bz2":
+        chunk = _record({"op": b"\x05", "compression": b"bz2",
+                         "size": struct.pack("<I", len(records))},
+                        bz2.compress(records))
+    else:
+        chunk = _record({"op": b"\x05", "compression": b"lz4",
+                         "size": struct.pack("<I", len(records))},
+                        _lz4_frame(records))
+    with open(path, "wb") as f:
+        f.write(b"#ROSBAG V2.0\n")
+        f.write(_record({"op": b"\x03",
+                         "index_pos": struct.pack("<Q", 0),
+                         "conn_count": struct.pack("<I", 2),
+                         "chunk_count": struct.pack("<I", 1)}, b""))
+        f.write(chunk)
+    return scans
+
+
+def test_decoders_roundtrip():
+    xyzi = np.arange(20, dtype=np.float32).reshape(5, 4)
+    rel = np.linspace(0, 0.1, 5).astype(np.float32)
+    stamp, out, relo = decode_pointcloud2(_pointcloud2(12.5, xyzi, rel))
+    assert abs(stamp - 12.5) < 1e-6
+    np.testing.assert_allclose(out, xyzi, rtol=1e-6)
+    np.testing.assert_allclose(relo, rel - rel.min(), atol=1e-6)
+    stamp, gyro, acc = decode_imu(_imu(3.25, [1, 2, 3], [4, 5, 6]))
+    assert abs(stamp - 3.25) < 1e-6
+    np.testing.assert_allclose(gyro, [1, 2, 3])
+    np.testing.assert_allclose(acc, [4, 5, 6])
+    stamp, T = decode_odometry(_odom(7.0, [1.0, 2.0, 3.0]))
+    np.testing.assert_allclose(T[:3, 3], [1, 2, 3])
+    np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=1e-12)
+
+
+def test_bag_reader_all_compressions(tmp_path):
+    for comp in ("none", "bz2", "lz4"):
+        path = str(tmp_path / f"{comp}.bag")
+        scans = _write_bag(path, compression=comp)
+        reader = BagReader(path)
+        msgs = list(reader.messages())
+        pc = [m for m in msgs if m[1] == "sensor_msgs/PointCloud2"]
+        imu = [m for m in msgs if m[1] == "sensor_msgs/Imu"]
+        assert len(pc) == 3, comp
+        assert len(imu) == 30, comp
+        _, _, _, raw = pc[1]
+        stamp, xyzi, rel = decode_pointcloud2(raw)
+        np.testing.assert_allclose(xyzi, scans[1][1], rtol=1e-6)
+        assert reader.connections[0].topic == "/os_cloud_node/points"
+
+
+def test_bag_convert_layout(tmp_path):
+    from fast_lio_sam_qn_tpu.tools.bag_convert import convert
+
+    path = str(tmp_path / "seq.bag")
+    _write_bag(path, compression="bz2", with_odom=True)
+    out = tmp_path / "out"
+    report = convert(path, str(out), odom_topic="/Odometry")
+    assert report["scans"] == 3
+    assert report["imu_samples"] == 30
+    assert report["odom_msgs"] == 3
+    times = np.loadtxt(out / "times.txt")
+    assert len(times) == 3
+    np.testing.assert_allclose(np.diff(times), 0.1, atol=1e-6)
+    imu = np.loadtxt(out / "imu.txt")
+    np.testing.assert_allclose(imu[0, 1:4], [0.01, 0.02, 0.03])
+    odom = np.loadtxt(out / "odom_poses.txt")
+    assert odom.shape == (3, 12)
+    from fast_lio_sam_qn_tpu.runtime import read_scan
+
+    s = read_scan(str(out / "scans" / "000001.bin"))
+    assert s.shape == (50, 4)
