@@ -217,3 +217,29 @@ def test_bag_convert_layout(tmp_path):
 
     s = read_scan(str(out / "scans" / "000001.bin"))
     assert s.shape == (50, 4)
+
+
+def test_bag_to_run_end_to_end(tmp_path):
+    """bag -> bag_convert -> run.py --kitti: the reference's `rosbag play`
+    driving path, bag-free (run.launch:29-46 equivalent)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from fast_lio_sam_qn_tpu.tools.bag_convert import convert
+
+    path = str(tmp_path / "seq.bag")
+    _write_bag(path, compression="lz4")
+    out = tmp_path / "out"
+    convert(path, str(out))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "fast_lio_sam_qn_tpu.run",
+         "--kitti", str(out), "--preset", "newer-college2020"],
+        env=env, capture_output=True, text=True, timeout=600,
+        cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout)
+    assert rep["scans"] == 3
