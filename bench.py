@@ -65,7 +65,7 @@ def build_pair():
     vp1 = jnp.asarray((drift[:3, :3] @ T1[:3, 3] + drift[:3, 3]).astype(
         np.float32))
     vp2 = jnp.asarray(T2[:3, 3].astype(np.float32))
-    return (va, vma, vp1), (vb, vmb, vp2)
+    return (va, vma, vp1), (vb, vmb, vp2), drift
 
 
 def full_match(src, dst):
@@ -85,10 +85,10 @@ def full_match(src, dst):
     # see QuatroConfig.fpfh_k_feat) and ~20% faster than the 48 default
     da, fa, (d2a, idxa, vva) = fpfh.fpfh(
         va, vma, jnp.float32(0.9), jnp.float32(1.5),
-        viewpoint=vp1, k_feat=32, k_normal=24, return_knn=True)
+        viewpoint=vp1, k_feat=24, k_normal=20, return_knn=True)
     db, fb, (d2b, idxb, vvb) = fpfh.fpfh(
         vb, vmb, jnp.float32(0.9), jnp.float32(1.5),
-        viewpoint=vp2, k_feat=32, k_normal=24, return_knn=True)
+        viewpoint=vp2, k_feat=24, k_normal=20, return_knn=True)
     fa = fpfh.distinctive(da, fa)
     fb = fpfh.distinctive(db, fb)
     q = quatro.align(
@@ -185,7 +185,7 @@ def main():
     except Exception:
         pass
 
-    src, dst = build_pair()
+    src, dst, drift = build_pair()
     _assert_pallas_parity(dst[0], dst[1])
 
     run = jax.jit(lambda s, d: full_match(s, d))
@@ -201,6 +201,19 @@ def main():
         times.append((time.perf_counter() - t0) * 1e3)
     ms = float(np.median(times))
     assert bool(out[2]), "benchmark match did not converge"
+    # accuracy gate: the true correction is drift^-1 (build_pair applies
+    # `drift` to cloud 1), so a correct match satisfies T @ drift ~ I.
+    # This guards quality when tuning speed knobs (e.g. fpfh k caps).
+    from fast_lio_sam_qn_tpu.ops import se3 as _se3
+    import jax.numpy as _jnp
+
+    err = np.asarray(_se3.se3_log(_se3.compose(out[0], _jnp.asarray(drift))))
+    t_err = float(np.linalg.norm(err[3:]))
+    r_err = float(np.linalg.norm(err[:3]))
+    print(f"match error vs ground truth: {t_err*100:.1f} cm, "
+          f"{np.degrees(r_err):.2f} deg", file=sys.stderr)
+    assert t_err < 0.30 and r_err < 0.05, (
+        f"benchmark match inaccurate: {t_err:.3f} m / {r_err:.4f} rad")
 
     null_ms = _null_dispatch_ms()
     amort_ms = _amortized_ms(src, dst)
