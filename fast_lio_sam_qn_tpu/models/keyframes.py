@@ -22,6 +22,8 @@ import jax.numpy as jnp
 class KeyframeStore(NamedTuple):
     clouds: jax.Array        # (K, P, 3) body-frame, voxelized
     cloud_masks: jax.Array   # (K, P)
+    intensities: jax.Array   # (K, P) per-point intensity (PointXYZI parity,
+                             # utilities.hpp:36; zeros for sources without)
     poses: jax.Array         # (K, 4, 4) raw odometry poses
     poses_corrected: jax.Array  # (K, 4, 4) PGO-corrected poses
     timestamps: jax.Array    # (K,)
@@ -42,6 +44,7 @@ def empty_store(max_keyframes: int, points_per_frame: int,
     return KeyframeStore(
         clouds=jnp.zeros((max_keyframes, points_per_frame, 3), dtype),
         cloud_masks=jnp.zeros((max_keyframes, points_per_frame), bool),
+        intensities=jnp.zeros((max_keyframes, points_per_frame), dtype),
         poses=eye,
         poses_corrected=eye,
         timestamps=jnp.zeros((max_keyframes,), dtype),
@@ -51,11 +54,14 @@ def empty_store(max_keyframes: int, points_per_frame: int,
 
 @jax.jit
 def append(store: KeyframeStore, cloud, cloud_mask, pose, pose_corrected,
-           timestamp) -> KeyframeStore:
+           timestamp, intensity=None) -> KeyframeStore:
     i = store.count
-    return KeyframeStore(
+    if intensity is None:
+        intensity = jnp.zeros(cloud.shape[0], cloud.dtype)
+    return store._replace(
         clouds=store.clouds.at[i].set(cloud),
         cloud_masks=store.cloud_masks.at[i].set(cloud_mask),
+        intensities=store.intensities.at[i].set(intensity),
         poses=store.poses.at[i].set(pose),
         poses_corrected=store.poses_corrected.at[i].set(pose_corrected),
         timestamps=store.timestamps.at[i].set(timestamp),
@@ -73,13 +79,17 @@ def grow(store: KeyframeStore, new_capacity: int) -> KeyframeStore:
     pad = new_capacity - store.capacity
     eye = jnp.broadcast_to(
         jnp.eye(4, dtype=store.poses.dtype), (pad, 4, 4))
-    return KeyframeStore(
+    return store._replace(
         clouds=jnp.concatenate(
             [store.clouds,
              jnp.zeros((pad,) + store.clouds.shape[1:], store.clouds.dtype)]),
         cloud_masks=jnp.concatenate(
             [store.cloud_masks,
              jnp.zeros((pad,) + store.cloud_masks.shape[1:], bool)]),
+        intensities=jnp.concatenate(
+            [store.intensities,
+             jnp.zeros((pad,) + store.intensities.shape[1:],
+                       store.intensities.dtype)]),
         poses=jnp.concatenate([store.poses, eye]),
         poses_corrected=jnp.concatenate([store.poses_corrected, eye]),
         timestamps=jnp.concatenate(

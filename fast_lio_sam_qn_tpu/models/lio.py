@@ -44,6 +44,9 @@ class ScanResult(NamedTuple):
     cloud_body: jax.Array     # (N,3) deskewed scan, body frame
     cloud_mask: jax.Array     # (N,)
     num_matches: jax.Array
+    intensity: jax.Array      # (N,) per-point intensity (the reference's
+                              # pcl::PointXYZI channel, utilities.hpp:36;
+                              # zeros when the source carries none)
 
 
 class LIO:
@@ -106,10 +109,14 @@ class LIO:
         return (center + np.asarray(state.grid.psum) / cnt[:, None])[occ]
 
     # ------------------------------------------------------------------
-    def preprocess(self, pts: jax.Array, rel_t: jax.Array, mask: jax.Array):
-        """blind cull + decimation + surf downsample, fixed output capacity."""
+    def preprocess(self, pts: jax.Array, rel_t: jax.Array, mask: jax.Array,
+                   inten: jax.Array | None = None):
+        """blind cull + decimation + surf downsample, fixed output capacity.
+        Returns (pts, rel_t, inten, mask)."""
+        if inten is None:
+            inten = jnp.zeros(pts.shape[0], pts.dtype)
         return _preprocess(
-            pts, rel_t, mask,
+            pts, rel_t, inten, mask,
             blind=self.cfg.blind,
             filter_num=self.cfg.point_filter_num,
             surf_res=self.cfg.filter_size_surf,
@@ -128,11 +135,12 @@ class LIO:
         imu_mask: jax.Array,  # (K,)
         t_start,
         t_end,
+        inten: jax.Array | None = None,   # (N,) per-point intensity
     ) -> tuple[LioState, ScanResult]:
         return _process_scan(
             state, pts_l, rel_t, mask, imu_t, gyro, acc, imu_mask,
             jnp.float32(t_start), jnp.float32(t_end),
-            self._R_li, self._t_li, self._noise,
+            self._R_li, self._t_li, self._noise, inten,
             blind=self.cfg.blind,
             filter_num=self.cfg.point_filter_num,
             surf_res=self.cfg.filter_size_surf,
@@ -151,7 +159,8 @@ class LIO:
 
 @functools.partial(
     jax.jit, static_argnames=("blind", "filter_num", "surf_res", "out_cap"))
-def _preprocess(pts, rel_t, mask, *, blind, filter_num, surf_res, out_cap):
+def _preprocess(pts, rel_t, inten, mask, *, blind, filter_num, surf_res,
+                out_cap):
     n = pts.shape[0]
     r2 = jnp.sum(pts * pts, axis=-1)
     keep = mask & (r2 > blind * blind)
@@ -160,32 +169,37 @@ def _preprocess(pts, rel_t, mask, *, blind, filter_num, surf_res, out_cap):
     # voxel downsample keeps centroids; per-point times need a representative
     # -> reuse the sort machinery but take the first point per voxel instead
     # of the centroid so its timestamp stays meaningful for deskew.
-    out_pts, out_t, out_mask = _first_per_voxel(pts, rel_t, keep, surf_res, out_cap)
-    return out_pts, out_t, out_mask
+    scalars = jnp.stack([rel_t, inten], axis=-1)
+    out_pts, out_s, out_mask = _first_per_voxel(
+        pts, scalars, keep, surf_res, out_cap)
+    return out_pts, out_s[:, 0], out_s[:, 1], out_mask
 
 
 @functools.partial(jax.jit, static_argnames=("res", "out_cap"))
-def _first_per_voxel(pts, rel_t, mask, res, out_cap):
+def _first_per_voxel(pts, scalars, mask, res, out_cap):
     """One representative (first-in-index) point per voxel, keeping its
-    timestamp — the deskew-compatible analogue of voxel downsampling."""
+    per-point scalars (timestamp, intensity) — the deskew-compatible
+    analogue of voxel downsampling. scalars: (N, S)."""
     coords = voxel.voxel_coords(pts, res)
     h = voxel.spatial_hash(coords)
     key = jnp.where(mask, h, jnp.iinfo(jnp.int32).max)
     order = jnp.argsort(key, stable=True)
-    pts_s, t_s, coords_s, key_s, mask_s = (
-        pts[order], rel_t[order], coords[order], key[order], mask[order])
+    pts_s, sc_s, coords_s, key_s, mask_s = (
+        pts[order], scalars[order], coords[order], key[order], mask[order])
     prev_key = jnp.concatenate([key_s[:1] - 1, key_s[:-1]])
     prev_coords = jnp.concatenate([coords_s[:1] + 1, coords_s[:-1]])
-    is_head = ((key_s != prev_key) | jnp.any(coords_s != prev_coords, -1)) & mask_s
+    is_head = ((key_s != prev_key)
+               | jnp.any(coords_s != prev_coords, -1)) & mask_s
     compact = jnp.argsort(jnp.logical_not(is_head), stable=True)
     out_pts = pts_s[compact]
-    out_t = t_s[compact]
+    out_sc = sc_s[compact]
     out_m = is_head[compact]
     n = pts.shape[0]
     if out_cap <= n:
-        return out_pts[:out_cap], out_t[:out_cap], out_m[:out_cap]
+        return out_pts[:out_cap], out_sc[:out_cap], out_m[:out_cap]
     pad = out_cap - n
-    return (jnp.pad(out_pts, ((0, pad), (0, 0))), jnp.pad(out_t, (0, pad)),
+    return (jnp.pad(out_pts, ((0, pad), (0, 0))),
+            jnp.pad(out_sc, ((0, pad), (0, 0))),
             jnp.pad(out_m, (0, pad)))
 
 
@@ -195,13 +209,15 @@ def _first_per_voxel(pts, rel_t, mask, res, out_cap):
     "surfel_hood_cap", "surfel_hood_window", "surfel_halo_cap"))
 def _process_scan(
     state: LioState, pts_l, rel_t, mask, imu_t, gyro, acc, imu_mask,
-    t_start, t_end, R_li, t_li, noise, *,
+    t_start, t_end, R_li, t_li, noise, inten=None, *,
     blind, filter_num, surf_res, out_cap, max_iter, plane_k,
     plane_threshold, det_range, map_backend="surfel", surfel_window=1,
     surfel_hood_cap=None, surfel_hood_window=27, surfel_halo_cap=None,
 ):
-    pts_p, t_p, m_p = _preprocess(
-        pts_l, rel_t, mask, blind=blind, filter_num=filter_num,
+    if inten is None:
+        inten = jnp.zeros(pts_l.shape[0], pts_l.dtype)
+    pts_p, t_p, i_p, m_p = _preprocess(
+        pts_l, rel_t, inten, mask, blind=blind, filter_num=filter_num,
         surf_res=surf_res, out_cap=out_cap)
 
     nav1, P1, log = ieskf.propagate(
@@ -250,4 +266,4 @@ def _process_scan(
         nav=nav2, P=P2, grid=grid, t=t_end,
         num_scans=state.num_scans + 1, num_matches=matches,
     )
-    return new_state, ScanResult(pose, body, m_p, matches)
+    return new_state, ScanResult(pose, body, m_p, matches, i_p)

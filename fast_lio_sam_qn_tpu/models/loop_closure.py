@@ -205,9 +205,18 @@ class LoopClosure:
         return self._perform_jit(store, query_idx, closest_idx)
 
     def perform_loop_closure_batch(self, store: KeyframeStore, query_idxs,
-                                   closest_idxs) -> RegistrationOutput:
+                                   closest_idxs,
+                                   mesh=None) -> RegistrationOutput:
         """Batched registration of B candidates (arrays of indices; invalid
-        slots marked with closest_idx < 0). Returns batched outputs."""
+        slots marked with closest_idx < 0). Returns batched outputs.
+
+        mesh: optional jax.sharding.Mesh — shards the candidate batch over
+        its devices (B must divide by the mesh size; pad with -1 slots)."""
+        if mesh is not None and len(mesh.devices.flat) > 1:
+            from ..parallel import spmd
+
+            return spmd.sharded_loop_closure_batch(
+                mesh, self._perform_impl, store, query_idxs, closest_idxs)
         return self._perform_batch_jit(store, query_idxs, closest_idxs)
 
     def _perform_impl(self, store: KeyframeStore, query_idx,

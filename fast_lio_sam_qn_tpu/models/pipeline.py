@@ -60,11 +60,15 @@ def _feed_step(odom_delta, last_odom_pose, last_corrected, last_kf_corrected,
 
 
 class FastLioSamQnPipeline:
-    def __init__(self, cfg: Optional[PipelineConfig] = None, profiler=None):
+    def __init__(self, cfg: Optional[PipelineConfig] = None, profiler=None,
+                 mesh=None):
         """profiler: optional utils.profiling.Profiler; records the
         reference's stage spans (real/key_add/opt/res per callback,
-        'loop' per timer firing — fast_lio_sam_qn.cpp:191-197,250)."""
+        'loop' per timer firing — fast_lio_sam_qn.cpp:191-197,250).
+        mesh: optional jax.sharding.Mesh — batched loop-closure mode
+        (cfg.loop.loop_batch > 0) shards its candidate batch over it."""
         self.cfg = cfg or PipelineConfig()
+        self.mesh = mesh
         from ..utils.profiling import Profiler
 
         self.profiler = profiler or Profiler()
@@ -100,11 +104,13 @@ class FastLioSamQnPipeline:
         self.kf_timestamps: List[float] = []
 
     # ------------------------------------------------------------------
-    def feed(self, pose, cloud_body, cloud_mask, timestamp: float):
+    def feed(self, pose, cloud_body, cloud_mask, timestamp: float,
+             intensity=None):
         """One odom+cloud pair (the odomPcdCallback equivalent).
 
         pose: (4,4) odometry pose (world<-body); cloud_body: (P,3) padded
-        body-frame points with mask. Returns the realtime corrected pose.
+        body-frame points with mask; intensity: optional (P,) channel
+        (PointXYZI parity). Returns the realtime corrected pose.
         """
         pose = jnp.asarray(pose, jnp.float32)
         if self._next_loop_tick is None:
@@ -131,21 +137,24 @@ class FastLioSamQnPipeline:
 
         if not self.initialized:
             self._add_keyframe(pose, pose, cloud_body,
-                               cloud_mask, timestamp, first=True)
+                               cloud_mask, timestamp, first=True,
+                               intensity=intensity)
             self.initialized = True
         else:
             # 2. keyframe gate on corrected poses (:498-501)
             if float(dist) > self.cfg.keyframe_threshold:
                 with self.profiler.span("key_add"):
                     self._add_keyframe(pose, corrected_current, cloud_body,
-                                       cloud_mask, timestamp, first=False)
+                                       cloud_mask, timestamp, first=False,
+                                       intensity=intensity)
                 with self.profiler.span("opt"):
                     self._optimize_and_refresh()
 
         return corrected_current
 
     # ------------------------------------------------------------------
-    def _add_keyframe(self, pose, corrected, cloud, mask, timestamp, first):
+    def _add_keyframe(self, pose, corrected, cloud, mask, timestamp, first,
+                      intensity=None):
         c = self.cfg
         if self.current_kf_idx >= self.store.capacity:
             # amortized growth: double the padded capacity (one recompile
@@ -157,12 +166,22 @@ class FastLioSamQnPipeline:
             c.caps.max_keyframes = new_cap
         # store the body cloud voxelized at matching resolution (the
         # reference stores raw and voxelizes inside setSrcAndDstCloud; the
-        # matching path re-voxelizes after world transform either way)
-        vc, vm = voxel.voxel_downsample(
-            jnp.asarray(cloud), jnp.asarray(mask), c.loop.voxel_res,
-            out_cap=c.caps.keyframe_points)
+        # matching path re-voxelizes after world transform either way);
+        # intensity is voxel-averaged alongside like pcl::VoxelGrid on
+        # PointXYZI (utilities.hpp:38-63)
+        if intensity is None:
+            vc, vm = voxel.voxel_downsample(
+                jnp.asarray(cloud), jnp.asarray(mask), c.loop.voxel_res,
+                out_cap=c.caps.keyframe_points)
+            vi = None
+        else:
+            vc, vm, vf = voxel.voxel_downsample(
+                jnp.asarray(cloud), jnp.asarray(mask), c.loop.voxel_res,
+                out_cap=c.caps.keyframe_points,
+                feats=jnp.asarray(intensity)[:, None])
+            vi = vf[:, 0]
         self.store = kf.append(self.store, vc, vm, pose, corrected,
-                               jnp.float32(timestamp))
+                               jnp.float32(timestamp), intensity=vi)
         self.odom_poses.append(np.asarray(pose))
         self.kf_timestamps.append(float(timestamp))
         if first:
@@ -285,6 +304,10 @@ class FastLioSamQnPipeline:
             self._kf_processed[i] = True
         self.latest_kf_processed = self._kf_processed[-1]
 
+        if self.mesh is not None:
+            # sharded batch: round up to a multiple of the mesh size
+            ndev = len(self.mesh.devices.flat)
+            batch = -(-batch // ndev) * ndev
         qidx = np.zeros(batch, np.int32)
         qidx[: len(pending)] = pending
         qposes = self.store.poses_corrected[jnp.asarray(qidx)]
@@ -296,7 +319,8 @@ class FastLioSamQnPipeline:
         if (closest_np < 0).all():
             return
         reg = self.loop_closure.perform_loop_closure_batch(
-            self.store, jnp.asarray(qidx), jnp.asarray(closest_np))
+            self.store, jnp.asarray(qidx), jnp.asarray(closest_np),
+            mesh=self.mesh)
         valid = np.asarray(reg.is_valid)
         scores = np.asarray(reg.score)
         for b in range(len(pending)):

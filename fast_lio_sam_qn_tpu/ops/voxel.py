@@ -56,6 +56,7 @@ def voxel_downsample(
     mask: jax.Array,
     res: float,
     out_cap: int | None = None,
+    feats: jax.Array | None = None,
 ):
     """Centroid-per-voxel downsample.
 
@@ -65,12 +66,18 @@ def voxel_downsample(
       res:    voxel edge length (static).
       out_cap: output capacity (static; default N). If the number of occupied
         voxels exceeds out_cap, lowest-hash voxels win (deterministic).
+      feats: optional (N, C) per-point features (e.g. intensity) averaged
+        per voxel alongside the centroid — pcl::VoxelGrid averages the full
+        PointXYZI, intensity included (utilities.hpp:38-63).
 
     Returns:
       (out_points (out_cap, 3) f32, out_mask (out_cap,) bool)
+      [, out_feats (out_cap, C) when feats is given]
     """
     n = points.shape[0]
     out_cap = out_cap or n
+    data = points if feats is None else jnp.concatenate(
+        [points, feats.astype(points.dtype)], axis=-1)
     coords = voxel_coords(points, res)
     h = spatial_hash(coords)
     # push invalid points to the end of the sort with a sentinel key
@@ -80,7 +87,7 @@ def voxel_downsample(
     # an unstable sort can interleave two colliding voxels' points and split
     # them into multiple segment heads (duplicate centroids)
     order = jnp.argsort(key, stable=True)
-    pts_s = points[order]
+    data_s = data[order]
     coords_s = coords[order]
     key_s = key[order]
     mask_s = mask[order]
@@ -93,19 +100,22 @@ def voxel_downsample(
     seg_id = jnp.cumsum(is_head.astype(jnp.int32)) - 1  # -1 before first head
     seg_id = jnp.maximum(seg_id, 0)
     w = mask_s.astype(points.dtype)
-    seg_sum = jax.ops.segment_sum(pts_s * w[:, None], seg_id, num_segments=n)
+    seg_sum = jax.ops.segment_sum(data_s * w[:, None], seg_id, num_segments=n)
     seg_cnt = jax.ops.segment_sum(w, seg_id, num_segments=n)
     centroid = seg_sum / jnp.maximum(seg_cnt, 1.0)[:, None]
 
     head_centroids = centroid[seg_id]  # valid where is_head
     # stable-compact heads to the front: sort by (!is_head) keeps head order
     compact_order = jnp.argsort(jnp.logical_not(is_head), stable=True)
-    out_pts_full = head_centroids[compact_order]
+    out_full = head_centroids[compact_order]
     out_mask_full = is_head[compact_order]
     if out_cap <= n:
-        return out_pts_full[:out_cap], out_mask_full[:out_cap]
-    pad = out_cap - n
-    return (
-        jnp.pad(out_pts_full, ((0, pad), (0, 0))),
-        jnp.pad(out_mask_full, (0, pad)),
-    )
+        out_full = out_full[:out_cap]
+        out_mask_full = out_mask_full[:out_cap]
+    else:
+        pad = out_cap - n
+        out_full = jnp.pad(out_full, ((0, pad), (0, 0)))
+        out_mask_full = jnp.pad(out_mask_full, (0, pad))
+    if feats is None:
+        return out_full, out_mask_full
+    return out_full[:, :3], out_mask_full, out_full[:, 3:]

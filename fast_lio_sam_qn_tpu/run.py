@@ -201,15 +201,20 @@ def _feed_scan_files(pipe, scan_paths, poses, stamps, world_frame, cap,
     for i, (T, t) in enumerate(zip(poses, stamps)):
         xyzi = loader.get(i)
         pts = xyzi[:, :3]
+        inten = xyzi[:, 3]
         if world_frame:
             # un-transform world-frame clouds to body (pose_pcd.hpp:39-40)
             Tinv = np.linalg.inv(T)
             pts = pts @ Tinv[:3, :3].T + Tinv[:3, 3]
         if len(pts) > cap:  # uniform decimation to the configured capacity
-            pts = pts[:: int(np.ceil(len(pts) / cap))]
+            step = int(np.ceil(len(pts) / cap))
+            pts, inten = pts[::step], inten[::step]
         cloud, mask = pad_cloud(pts.astype(np.float32), cap)
+        ipad = np.zeros(cap, np.float32)
+        ipad[: len(inten)] = inten[:cap]
         pipe.feed(jnp.asarray(T, jnp.float32), jnp.asarray(cloud),
-                  jnp.asarray(mask), float(t))
+                  jnp.asarray(mask), float(t),
+                  intensity=jnp.asarray(ipad))
         if obs is not None:
             obs.tick(pipe, float(t))
     loader.close()
@@ -327,14 +332,17 @@ def run_kitti(args):
         with prof.span("io"):
             xyzi = loader.get(i)
             pts = xyzi[:, :3].astype(np.float32)
+            inten = xyzi[:, 3].astype(np.float32)
             # synthesize per-point sweep times from azimuth (KITTI bins
             # carry no per-point stamps; azimuth is the sweep coordinate)
             az = np.arctan2(pts[:, 1], pts[:, 0])
             rel = ((-az + np.pi) % (2 * np.pi)) / (2 * np.pi) * (t1 - t0)
             if len(pts) > cap:
                 step = int(np.ceil(len(pts) / cap))
-                pts, rel = pts[::step], rel[::step]
+                pts, rel, inten = pts[::step], rel[::step], inten[::step]
             cloud, mask = pad_cloud(pts, cap)
+            ipad = np.zeros(cap, np.float32)
+            ipad[: len(inten)] = inten[:cap]
             rows = imu[(imu[:, 0] > t0) & (imu[:, 0] <= t1)][:imu_cap]
             it = np.zeros(imu_cap, np.float32)
             ig = np.zeros((imu_cap, 3), np.float32)
@@ -352,9 +360,11 @@ def run_kitti(args):
             state, res = lio.process_scan(
                 state, jnp.asarray(cloud), jnp.asarray(relp),
                 jnp.asarray(mask), jnp.asarray(it), jnp.asarray(ig),
-                jnp.asarray(ia), jnp.asarray(im), float(t0), float(t1))
+                jnp.asarray(ia), jnp.asarray(im), float(t0), float(t1),
+                inten=jnp.asarray(ipad))
         with prof.span("pgo"):
-            pipe.feed(res.pose, res.cloud_body, res.cloud_mask, float(t1))
+            pipe.feed(res.pose, res.cloud_body, res.cloud_mask, float(t1),
+                      intensity=res.intensity)
         obs.tick(pipe, float(t1))
         if args.checkpoint and args.checkpoint_every and \
                 (i + 1) % args.checkpoint_every == 0:

@@ -58,6 +58,7 @@ def save_checkpoint(pipeline, path: str, lio_state=None, extra=None):
         host_json=np.frombuffer(json.dumps(host).encode(), dtype=np.uint8),
         store_clouds=np.asarray(st.clouds),
         store_cloud_masks=np.asarray(st.cloud_masks),
+        store_intensities=np.asarray(st.intensities),
         store_poses=np.asarray(st.poses),
         store_poses_corrected=np.asarray(st.poses_corrected),
         store_timestamps=np.asarray(st.timestamps),
@@ -101,6 +102,9 @@ def load_checkpoint(pipeline, path: str, lio_template=None):
     pipeline.store = KeyframeStore(
         clouds=jnp.asarray(z["store_clouds"]),
         cloud_masks=jnp.asarray(z["store_cloud_masks"]),
+        intensities=jnp.asarray(
+            z["store_intensities"] if "store_intensities" in z.files
+            else np.zeros(z["store_cloud_masks"].shape, np.float32)),
         poses=jnp.asarray(z["store_poses"]),
         poses_corrected=jnp.asarray(z["store_poses_corrected"]),
         timestamps=jnp.asarray(z["store_timestamps"]),

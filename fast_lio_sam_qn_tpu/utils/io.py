@@ -188,9 +188,16 @@ def save_results(pipeline, save_dir: str, raw_scans=None):
         if clouds is None:
             cl = np.asarray(pipeline.store.clouds[:n])
             ms = np.asarray(pipeline.store.cloud_masks[:n])
+            ii = np.asarray(pipeline.store.intensities[:n])
             clouds = [c[m] for c, m in zip(cl, ms)]
+            intens = [iv[m] for iv, m in zip(ii, ms)]
+        else:
+            # raw_scans rows may carry intensity as a 4th column
+            intens = [c[:, 3] if c.shape[1] >= 4 else None for c in clouds]
+            clouds = [c[:, :3] for c in clouds]
         for i in range(n):
-            save_pcd(os.path.join(scans_dir, f"{i:06d}.pcd"), clouds[i])
+            save_pcd(os.path.join(scans_dir, f"{i:06d}.pcd"), clouds[i],
+                     intensity=intens[i])
         save_poses_kitti(os.path.join(seq_dir, "poses_kitti.txt"), poses)
         save_poses_tum(os.path.join(seq_dir, "poses_tum.txt"), poses, stamps)
 
@@ -201,6 +208,7 @@ def save_results(pipeline, save_dir: str, raw_scans=None):
         np.savez_compressed(
             os.path.join(seq_dir, "result_keyframes.npz"),
             clouds=cl, masks=ms, poses=poses,
+            intensities=np.asarray(pipeline.store.intensities[:n]),
             timestamps=np.asarray(stamps))
 
     if cfg.save_map_pcd:

@@ -118,3 +118,44 @@ def test_pgo_sharded_solve_matches_dense():
     before = total_residual(np.asarray(g.poses))
     after = total_residual(poses_new)
     assert after < 0.2 * before, (before, after)
+
+
+def test_sharded_loop_closure_batch_matches_single():
+    """The FULL per-candidate loop-closure program, batch-sharded over the
+    8-device mesh, must reproduce the single-device vmapped outputs (the
+    product path: FastLioSamQnPipeline(mesh=...) with loop_batch > 0)."""
+    from fast_lio_sam_qn_tpu.models import keyframes as kf
+    from fast_lio_sam_qn_tpu.models.loop_closure import LoopClosure
+    from fast_lio_sam_qn_tpu.utils.config import LoopClosureConfig
+
+    m = meshlib.make_mesh(8)
+    cfg = LoopClosureConfig()
+    cfg.quatro.fpfh_k_feat = 24
+    cfg.quatro.fpfh_k_normal = 20
+    lc = LoopClosure(cfg, src_cap=1024, dst_cap=1024)
+
+    world = sim.World.room(size=20.0, height=5.0, n_boxes=8, seed=4)
+    store = kf.empty_store(16, 1024)
+    rng = np.random.default_rng(0)
+    T = np.eye(4, dtype=np.float32)
+    for i in range(10):
+        T = T.copy()
+        T[0, 3] = 1.5 * (i % 5)  # indices 5..9 revisit 0..4
+        scan, _ = sim.simulate_scan(world, T, n_points=1024, noise=0.01,
+                                    seed=100 + (i % 5))
+        cloud, mask = sim.pad_cloud(scan, 1024)
+        store = kf.append(store, jnp.asarray(cloud), jnp.asarray(mask),
+                          jnp.asarray(T), jnp.asarray(T),
+                          jnp.float32(i * 40.0))
+    qidx = jnp.asarray(np.array([5, 6, 7, 8, 9, 5, 6, 7], np.int32))
+    cidx = jnp.asarray(np.array([0, 1, 2, 3, -1, 0, 1, 2], np.int32))
+
+    ref = lc.perform_loop_closure_batch(store, qidx, cidx)
+    shd = lc.perform_loop_closure_batch(store, qidx, cidx, mesh=m)
+    np.testing.assert_array_equal(np.asarray(shd.is_valid),
+                                  np.asarray(ref.is_valid))
+    np.testing.assert_allclose(np.asarray(shd.score),
+                               np.asarray(ref.score), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(shd.pose_between),
+                               np.asarray(ref.pose_between), atol=1e-3)
+    assert int(np.asarray(shd.closest_idx)[4]) == -1

@@ -292,3 +292,36 @@ def test_consensus_gate_vs_strict_parity_commit():
     p2 = prime(parity)
     p2._consensus_commit(2, 0, jnp.eye(4), 0.5)
     assert len(p2.loop_idx_pairs) == 1  # committed immediately
+
+
+def test_intensity_through_store_and_export(tmp_path):
+    """Intensity rides through keyframe voxelization into the PCD export
+    (PointXYZI parity, utilities.hpp:36 — round-1 divergence removed)."""
+    cfg = PipelineConfig()
+    cfg.caps = Capacities(max_keyframes=8, max_loop_factors=4,
+                          keyframe_points=512, src_points=512,
+                          dst_points=1024)
+    cfg.loop.loop_detection_radius = 0.0
+    pipe = FastLioSamQnPipeline(cfg)
+    rng = np.random.default_rng(0)
+    cloud = rng.normal(0, 5, (256, 3)).astype(np.float32)
+    inten = rng.uniform(10, 200, 256).astype(np.float32)
+    mask = np.ones(256, bool)
+    for i in range(2):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = 2.0 * i
+        pipe.feed(jnp.asarray(T), jnp.asarray(cloud), jnp.asarray(mask),
+                  float(i), intensity=jnp.asarray(inten))
+    stored = np.asarray(pipe.store.intensities[0])
+    smask = np.asarray(pipe.store.cloud_masks[0])
+    assert stored[smask].min() > 5.0  # real values, not zeros
+    out = io.save_results(pipe, str(tmp_path))
+    import os
+    pcd = os.path.join(out, "scans", "000000.pcd")
+    txt = open(pcd).read()
+    last_cols = [float(line.split()[3]) for line in
+                 txt.splitlines() if line and line[0] not in "#VFSTCWHPD"]
+    assert max(last_cols) > 5.0  # intensity exported
+    # archive carries it too
+    z = np.load(os.path.join(out, "result_keyframes.npz"))
+    assert float(z["intensities"].max()) > 5.0
