@@ -29,6 +29,7 @@ addition).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import glob
 import json
 import os
@@ -116,17 +117,26 @@ def run_sim(args):
     cfg.caps = Capacities(max_keyframes=256, max_loop_factors=32,
                           keyframe_points=2048, src_points=2048,
                           dst_points=4096)
-    pipe = FastLioSamQnPipeline(cfg)
-    lio = LIO(cfg.lio)
     prof = Profiler()
     obs = RunObservers(args, cfg.vis_hz)
 
-    if getattr(args, "trajectory", "loop") == "figure8":
+    trajectory = getattr(args, "trajectory", "loop")
+    if trajectory == "figure8":
         world = sim.World.room(size=40.0, height=6.0, n_boxes=16, seed=3)
         traj = sim.Trajectory.figure8(radius=12.0, period=60.0)
+    elif trajectory == "corridor":
+        # long-corridor stress (the BASELINE "Livox Avia ... long corridor"
+        # scenario family): a sparse repetitive environment driven straight
+        # through, with det_range tightened so the moving-window eviction
+        # actively recycles voxel-table slots mid-run
+        world = sim.World.corridor(length=150.0, width=8.0, height=4.0)
+        traj = sim.Trajectory.straight(speed=2.0)
+        cfg.lio = dataclasses.replace(cfg.lio, det_range=25.0)
     else:
         world = sim.World.room(size=26.0, height=5.0, n_boxes=10, seed=3)
         traj = sim.Trajectory.loop(radius=7.0, period=40.0)
+    pipe = FastLioSamQnPipeline(cfg)
+    lio = LIO(cfg.lio)
     scan_hz = getattr(args, "scan_hz", None) or 5.0
     n_scans = args.n_scans or 240
     period = 1.0 / scan_hz
@@ -430,7 +440,7 @@ def main(argv=None):
                         "saved scan index")
     p.add_argument("--n-scans", type=int, default=None)
     p.add_argument("--trajectory", default="loop",
-                   choices=["loop", "figure8"])
+                   choices=["loop", "figure8", "corridor"])
     p.add_argument("--scan-hz", type=float, default=None, dest="scan_hz")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)

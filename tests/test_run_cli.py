@@ -175,3 +175,17 @@ def test_watch_and_save_trigger(kitti_style_dir, tmp_path, capsys):
     import glob as _glob
     assert _glob.glob(str(dest / "**" / "poses_kitti.txt"),
                       recursive=True)  # mid-run export happened
+
+
+def test_run_sim_corridor_smoke(tmp_path, capsys):
+    """Corridor scenario (BASELINE 'long corridor' config family): straight
+    drive through a sparse repetitive world with a tight det_range, so the
+    moving-window eviction recycles voxel slots mid-run."""
+    from fast_lio_sam_qn_tpu.run import main
+
+    rc = main(["--sim", "--trajectory", "corridor", "--n-scans", "40"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["keyframes"] >= 5
+    # straight drive at 2 m/s for 8 s: drift must stay small
+    assert report["ate_rmse_m"] < 1.0
