@@ -106,7 +106,8 @@ class BagReader:
 
     def messages(self, topics: Optional[set] = None
                  ) -> Iterator[tuple[str, str, float, bytes]]:
-        """Yield (topic, msg_type, time_sec, serialized_msg) in file order."""
+        """Yield (topic, msg_type, time_sec, serialized_msg) in file order.
+        topics: optional set of topic names to keep (None = all)."""
         for hdr, data in self._raw_records():
             op = hdr["op"][0]
             if op == _OP_CONNECTION:
@@ -127,12 +128,16 @@ class BagReader:
                     if sop == _OP_CONNECTION:
                         self._register_connection(shdr, sdata)
                     elif sop == _OP_MSG:
-                        yield self._emit(shdr, sdata, topics)
+                        msg = self._emit(shdr, sdata)
+                        if topics is None or msg[0] in topics:
+                            yield msg
             elif op == _OP_MSG:
-                yield self._emit(hdr, data, topics)
+                msg = self._emit(hdr, data)
+                if topics is None or msg[0] in topics:
+                    yield msg
         return
 
-    def _emit(self, hdr, data, topics):
+    def _emit(self, hdr, data):
         cid = struct.unpack("<I", hdr["conn"])[0]
         (tns,) = struct.unpack("<Q", hdr["time"])
         t = (tns >> 32) + (tns & 0xFFFFFFFF) * 1e-9
