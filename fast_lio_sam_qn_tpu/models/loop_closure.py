@@ -138,6 +138,7 @@ class LoopClosure:
         # data-parallelizes across devices when a mesh is present
         self._perform_batch_jit = jax.jit(
             jax.vmap(self._perform_impl, in_axes=(None, 0, 0)))
+        self._sharded_batch_cache: dict = {}
 
     def fetch_closest_keyframe_idx(self, store, query_pose, query_time):
         return fetch_closest_keyframe_idx(
@@ -215,8 +216,16 @@ class LoopClosure:
         if mesh is not None and len(mesh.devices.flat) > 1:
             from ..parallel import spmd
 
-            return spmd.sharded_loop_closure_batch(
-                mesh, self._perform_impl, store, query_idxs, closest_idxs)
+            # cache the jitted sharded program per mesh: rebuilding the
+            # vmapped callable every tick would defeat the jit cache and
+            # re-trace the whole FPFH+Quatro+GICP program each call
+            key = id(mesh)
+            fn = self._sharded_batch_cache.get(key)
+            if fn is None:
+                fn = spmd.make_sharded_loop_closure_batch(
+                    mesh, self._perform_impl)
+                self._sharded_batch_cache[key] = fn
+            return fn(store, query_idxs, closest_idxs)
         return self._perform_batch_jit(store, query_idxs, closest_idxs)
 
     def _perform_impl(self, store: KeyframeStore, query_idx,

@@ -210,8 +210,9 @@ def on_tpu() -> bool:
 
 
 def knn_pallas(queries, qmask, db, dbmask, k: int):
-    """kNN with the Pallas kernel on TPU, XLA fallback elsewhere."""
-    if on_tpu():
+    """kNN with the Pallas kernel on TPU, XLA fallback elsewhere — and for
+    databases beyond the packed-key index budget (MAX_DB)."""
+    if on_tpu() and db.shape[0] <= MAX_DB:
         return _knn_pallas_tpu(queries, qmask, db, dbmask, k)
     return knn_xla.brute_knn(queries, qmask, db, dbmask, k=k)
 

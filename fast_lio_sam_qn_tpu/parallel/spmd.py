@@ -210,20 +210,21 @@ def pgo_optimize_sharded(
 # Mesh-sharded batched loop closure (the product path: pipeline loop_batch)
 # ---------------------------------------------------------------------------
 
-def sharded_loop_closure_batch(mesh, perform_impl, store, query_idxs,
-                               closest_idxs, *, axis: str = "dp"):
-    """Run B independent loop-closure registrations (the FULL per-candidate
-    program: submap/scan build -> FPFH -> Quatro -> GICP) with the batch
-    sharded over the mesh and the keyframe store replicated.
+def make_sharded_loop_closure_batch(mesh, perform_impl, *,
+                                    axis: str = "dp"):
+    """Build (ONCE — cache the result; see LoopClosure) the jitted program
+    running B independent loop-closure registrations (the FULL
+    per-candidate pipeline: submap/scan build -> FPFH -> Quatro -> GICP)
+    with the batch sharded over the mesh and the keyframe store
+    replicated.
 
     perform_impl: LoopClosure._perform_impl (bound method). B must be a
     multiple of the mesh size (the pipeline pads with closest_idx = -1
     slots, which register as no-candidates)."""
     sharding = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
-    fn = jax.jit(
+    # in/out_shardings are pytree PREFIXES: `rep` covers the whole store
+    return jax.jit(
         jax.vmap(perform_impl, in_axes=(None, 0, 0)),
-        in_shardings=(jax.tree.map(lambda _: rep, store),
-                      sharding, sharding),
+        in_shardings=(rep, sharding, sharding),
         out_shardings=sharding)
-    return fn(store, query_idxs, closest_idxs)

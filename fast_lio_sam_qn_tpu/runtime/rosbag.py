@@ -139,8 +139,9 @@ class BagReader:
 
     def _emit(self, hdr, data):
         cid = struct.unpack("<I", hdr["conn"])[0]
-        (tns,) = struct.unpack("<Q", hdr["time"])
-        t = (tns >> 32) + (tns & 0xFFFFFFFF) * 1e-9
+        # rosbag 'time' field: secs u32 then nsecs u32, little-endian
+        sec, nsec = struct.unpack("<II", hdr["time"])
+        t = sec + nsec * 1e-9
         conn = self.connections.get(cid)
         topic = conn.topic if conn else f"conn{cid}"
         mtype = conn.type if conn else ""

@@ -86,8 +86,6 @@ def _check_python(path: str, text: str, errors: list):
     for name, lineno in imported.items():
         if name in used or name in _IMPORT_ALLOW:
             continue
-        if f"{name}" in getattr(tree, "type_ignores", []):
-            continue
         errors.append(f"{path}:{lineno}: unused import '{name}'")
 
 

@@ -87,7 +87,8 @@ def _conn_record(cid: int, topic: str, mtype: str) -> bytes:
 def _msg_record(cid: int, stamp: float, data: bytes) -> bytes:
     sec = int(stamp)
     nsec = int(round((stamp - sec) * 1e9))
-    tval = struct.pack("<Q", (sec << 32) | nsec)
+    # rosbag 'time' layout: secs u32 then nsecs u32, little-endian
+    tval = struct.pack("<II", sec, nsec)
     return _record({"op": b"\x02", "conn": struct.pack("<I", cid),
                     "time": tval}, data)
 
