@@ -275,3 +275,181 @@ def decode_odometry(buf: bytes):
     T[2, 2] = 1 - s * (qx * qx + qy * qy)
     T[:3, 3] = [px, py, pz]
     return stamp, T
+
+
+# ---------------------------------------------------------------------------
+# Bag writing — the reference's result.bag (fast_lio_sam_qn.cpp:380-396)
+# ---------------------------------------------------------------------------
+
+def _w_field(name: str, value: bytes) -> bytes:
+    item = name.encode() + b"=" + value
+    return struct.pack("<I", len(item)) + item
+
+
+def _w_record(fields: dict, data: bytes) -> bytes:
+    hdr = b"".join(_w_field(k, v) for k, v in fields.items())
+    return struct.pack("<I", len(hdr)) + hdr + struct.pack(
+        "<I", len(data)) + data
+
+
+def _w_time(t: float) -> bytes:
+    sec = int(t)
+    return struct.pack("<II", sec, int(round((t - sec) * 1e9)))
+
+
+def _w_string(s: str) -> bytes:
+    b = s.encode()
+    return struct.pack("<I", len(b)) + b
+
+
+# well-known ROS message md5sums (needed by rosbag/rostopic consumers)
+_MSG_MD5 = {
+    "sensor_msgs/PointCloud2": "1158d486dd51d683ce2f1be655c3c181",
+    "geometry_msgs/PoseStamped": "d3812c3cbc69362b77dc0b19b345f8f5",
+}
+
+
+class BagWriter:
+    """Write a well-formed (indexed, uncompressed-chunk) rosbag 2.0 file.
+
+    Produces the reference's `result.bag` layout — `/keyframe_pcd`
+    (sensor_msgs/PointCloud2) + `/keyframe_pose`
+    (geometry_msgs/PoseStamped) at keyframe timestamps
+    (fast_lio_sam_qn.cpp:380-396) — readable by this module's BagReader
+    and by standard rosbag tooling (bag header, chunk, per-connection
+    index-data, connection and chunk-info records all emitted per the
+    format spec; message_definition carries the canonical field text)."""
+
+    def __init__(self, path: str):
+        self._path = path
+        self._conns: dict[str, int] = {}
+        self._conn_records: list[bytes] = []
+        self._msgs: list[tuple[int, float, bytes]] = []
+
+    def _conn(self, topic: str, mtype: str) -> int:
+        if topic in self._conns:
+            return self._conns[topic]
+        cid = len(self._conns)
+        self._conns[topic] = cid
+        inner = (_w_field("topic", topic.encode())
+                 + _w_field("type", mtype.encode())
+                 + _w_field("md5sum",
+                            _MSG_MD5.get(mtype, "*").encode())
+                 + _w_field("message_definition", b""))
+        self._conn_records.append(_w_record(
+            {"op": b"\x07", "conn": struct.pack("<I", cid),
+             "topic": topic.encode()}, inner))
+        return cid
+
+    def write(self, topic: str, mtype: str, t: float, msg: bytes):
+        self._msgs.append((self._conn(topic, mtype), t, msg))
+
+    def close(self):
+        chunk = b""
+        offsets = []  # (cid, t, offset into uncompressed chunk)
+        for rec in self._conn_records:
+            chunk += rec
+        for cid, t, msg in self._msgs:
+            offsets.append((cid, t, len(chunk)))
+            chunk += _w_record(
+                {"op": b"\x02", "conn": struct.pack("<I", cid),
+                 "time": _w_time(t)}, msg)
+        with open(self._path, "wb") as f:
+            f.write(b"#ROSBAG V2.0\n")
+            # bag header record, padded to 4096 bytes like real bags;
+            # index_pos is patched after layout is known
+            hdr_pos = f.tell()
+            f.write(self._bag_header(0))
+            chunk_pos = f.tell()
+            f.write(_w_record(
+                {"op": b"\x05", "compression": b"none",
+                 "size": struct.pack("<I", len(chunk))}, chunk))
+            # per-connection index-data records follow their chunk
+            for cid in sorted(set(c for c, _, _ in offsets)) or []:
+                rows = [(t, off) for c, t, off in offsets if c == cid]
+                data = b"".join(_w_time(t) + struct.pack("<I", off)
+                                for t, off in rows)
+                f.write(_w_record(
+                    {"op": b"\x04", "ver": struct.pack("<I", 1),
+                     "conn": struct.pack("<I", cid),
+                     "count": struct.pack("<I", len(rows))}, data))
+            index_pos = f.tell()
+            for rec in self._conn_records:
+                f.write(rec)
+            times = [t for _, t, _ in self._msgs] or [0.0]
+            counts: dict[int, int] = {}
+            for cid, _, _ in offsets:
+                counts[cid] = counts.get(cid, 0) + 1
+            info_data = b"".join(
+                struct.pack("<II", cid, n) for cid, n in sorted(
+                    counts.items()))
+            f.write(_w_record(
+                {"op": b"\x06", "ver": struct.pack("<I", 1),
+                 "chunk_pos": struct.pack("<Q", chunk_pos),
+                 "start_time": _w_time(min(times)),
+                 "end_time": _w_time(max(times)),
+                 "count": struct.pack("<I", len(counts))}, info_data))
+            f.seek(hdr_pos)
+            f.write(self._bag_header(index_pos))
+
+    def _bag_header(self, index_pos: int) -> bytes:
+        rec_head = (_w_field("op", b"\x03")
+                    + _w_field("index_pos", struct.pack("<Q", index_pos))
+                    + _w_field("conn_count",
+                               struct.pack("<I", len(self._conns)))
+                    + _w_field("chunk_count", struct.pack("<I", 1)))
+        # pad the DATA portion so the whole record occupies 4096+8 bytes
+        pad = 4096 - len(rec_head)
+        return (struct.pack("<I", len(rec_head)) + rec_head
+                + struct.pack("<I", pad) + b" " * pad)
+
+
+def encode_pointcloud2(stamp: float, xyzi: np.ndarray,
+                       frame_id: str = "map") -> bytes:
+    """Serialize an (N, 4) xyzi float32 array as sensor_msgs/PointCloud2."""
+    xyzi = np.ascontiguousarray(xyzi, np.float32)
+    n = len(xyzi)
+    sec = int(stamp)
+    buf = struct.pack("<III", 0, sec, int(round((stamp - sec) * 1e9)))
+    buf += _w_string(frame_id)
+    buf += struct.pack("<II", 1, n)
+    fields = [("x", 0), ("y", 4), ("z", 8), ("intensity", 12)]
+    buf += struct.pack("<I", len(fields))
+    for name, off in fields:
+        buf += _w_string(name) + struct.pack("<IBI", off, 7, 1)
+    buf += struct.pack("<B", 0)              # little-endian
+    buf += struct.pack("<II", 16, 16 * n)    # point_step, row_step
+    raw = xyzi.tobytes()
+    buf += struct.pack("<I", len(raw)) + raw
+    buf += struct.pack("<B", 1)              # is_dense
+    return buf
+
+
+def encode_pose_stamped(stamp: float, T: np.ndarray,
+                        frame_id: str = "map") -> bytes:
+    """Serialize a (4, 4) pose as geometry_msgs/PoseStamped."""
+    sec = int(stamp)
+    buf = struct.pack("<III", 0, sec, int(round((stamp - sec) * 1e9)))
+    buf += _w_string(frame_id)
+    R = np.asarray(T, np.float64)[:3, :3]
+    tr = np.asarray(T, np.float64)[:3, 3]
+    # rotation matrix -> quaternion (w-last ROS order), Shepperd's method
+    tq = np.trace(R)
+    if tq > 0:
+        s = np.sqrt(tq + 1.0) * 2
+        qw = 0.25 * s
+        qx = (R[2, 1] - R[1, 2]) / s
+        qy = (R[0, 2] - R[2, 0]) / s
+        qz = (R[1, 0] - R[0, 1]) / s
+    else:
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 0.0)) * 2
+        q = [0.0, 0.0, 0.0]
+        q[i] = 0.25 * s
+        q[j] = (R[j, i] + R[i, j]) / s
+        q[k] = (R[k, i] + R[i, k]) / s
+        qw = (R[k, j] - R[j, k]) / s
+        qx, qy, qz = q
+    buf += struct.pack("<7d", tr[0], tr[1], tr[2], qx, qy, qz, qw)
+    return buf

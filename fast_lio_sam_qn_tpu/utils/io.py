@@ -205,11 +205,29 @@ def save_results(pipeline, save_dir: str, raw_scans=None):
         os.makedirs(seq_dir, exist_ok=True)
         cl = np.asarray(pipeline.store.clouds[:n])
         ms = np.asarray(pipeline.store.cloud_masks[:n])
+        ii = np.asarray(pipeline.store.intensities[:n])
         np.savez_compressed(
             os.path.join(seq_dir, "result_keyframes.npz"),
-            clouds=cl, masks=ms, poses=poses,
-            intensities=np.asarray(pipeline.store.intensities[:n]),
+            clouds=cl, masks=ms, poses=poses, intensities=ii,
             timestamps=np.asarray(stamps))
+        # the reference's result.bag: /keyframe_pcd + /keyframe_pose at
+        # keyframe timestamps (fast_lio_sam_qn.cpp:380-396) — consumed by
+        # FAST-LIO-Localization-QN (config/config.yaml:47)
+        from ..runtime.rosbag import (BagWriter, encode_pointcloud2,
+                                      encode_pose_stamped)
+
+        bag = BagWriter(os.path.join(seq_dir, "result.bag"))
+        for i in range(n):
+            t = float(stamps[i])
+            xyzi = np.concatenate(
+                [cl[i][ms[i]], ii[i][ms[i]][:, None]], axis=-1)
+            bag.write("/keyframe_pcd", "sensor_msgs/PointCloud2", t,
+                      encode_pointcloud2(t, xyzi,
+                                         frame_id=cfg.map_frame))
+            bag.write("/keyframe_pose", "geometry_msgs/PoseStamped", t,
+                      encode_pose_stamped(t, poses[i],
+                                          frame_id=cfg.map_frame))
+        bag.close()
 
     if cfg.save_map_pcd:
         os.makedirs(seq_dir, exist_ok=True)

@@ -244,3 +244,69 @@ def test_bag_to_run_end_to_end(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     rep = json.loads(r.stdout)
     assert rep["scans"] == 3
+
+
+def test_bag_writer_roundtrip(tmp_path):
+    """BagWriter output reads back through BagReader with correct topics,
+    types, stamps, and payloads (the reference's result.bag layout)."""
+    from fast_lio_sam_qn_tpu.runtime.rosbag import (
+        BagWriter, encode_pointcloud2, encode_pose_stamped)
+
+    path = str(tmp_path / "result.bag")
+    rng = np.random.default_rng(3)
+    w = BagWriter(path)
+    poses, clouds = [], []
+    for i in range(3):
+        t = 50.0 + 0.5 * i
+        xyzi = rng.normal(0, 5, (40, 4)).astype(np.float32)
+        T = np.eye(4)
+        T[:3, 3] = [i, 0.5 * i, 0.0]
+        clouds.append(xyzi)
+        poses.append(T)
+        w.write("/keyframe_pcd", "sensor_msgs/PointCloud2", t,
+                encode_pointcloud2(t, xyzi))
+        w.write("/keyframe_pose", "geometry_msgs/PoseStamped", t,
+                encode_pose_stamped(t, T))
+    w.close()
+
+    reader = BagReader(path)
+    msgs = list(reader.messages())
+    pcd = [m for m in msgs if m[0] == "/keyframe_pcd"]
+    pose = [m for m in msgs if m[0] == "/keyframe_pose"]
+    assert len(pcd) == 3 and len(pose) == 3
+    assert pcd[0][1] == "sensor_msgs/PointCloud2"
+    assert abs(pcd[1][2] - 50.5) < 1e-6  # record stamp
+    stamp, xyzi, _ = decode_pointcloud2(pcd[2][3])
+    np.testing.assert_allclose(xyzi, clouds[2], rtol=1e-6)
+    # PoseStamped payload: position at bytes [header+..]; decode via
+    # the odometry-style quaternion path by reusing struct offsets
+    import struct as _s
+    buf = pose[1][3]
+    # skip header (seq u32, sec u32, nsec u32, frame string)
+    (flen,) = _s.unpack_from("<I", buf, 12)
+    off = 16 + flen
+    px, py, pz, qx, qy, qz, qw = _s.unpack_from("<7d", buf, off)
+    np.testing.assert_allclose([px, py, pz], poses[1][:3, 3], atol=1e-12)
+    np.testing.assert_allclose([qx, qy, qz, qw], [0, 0, 0, 1], atol=1e-12)
+
+
+def test_save_results_writes_result_bag(tmp_path):
+    """save_results emits a real result.bag alongside the npz archive."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_pipeline import _run_loop_trajectory, small_config
+    from fast_lio_sam_qn_tpu.utils import io as _io
+    import os
+
+    pipe, _ = _run_loop_trajectory(small_config(), n_scans=20, seed=9)
+    out = _io.save_results(pipe, str(tmp_path))
+    bagpath = os.path.join(out, "result.bag")
+    assert os.path.exists(bagpath)
+    reader = BagReader(bagpath)
+    msgs = list(reader.messages())
+    pcd = [m for m in msgs if m[0] == "/keyframe_pcd"]
+    pose = [m for m in msgs if m[0] == "/keyframe_pose"]
+    assert len(pcd) == pipe.current_kf_idx
+    assert len(pose) == pipe.current_kf_idx
+    _, xyzi, _ = decode_pointcloud2(pcd[0][3])
+    assert len(xyzi) > 50 and xyzi.shape[1] == 4
