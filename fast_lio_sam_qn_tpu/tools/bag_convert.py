@@ -87,11 +87,19 @@ def convert(bag_path: str, out_dir: str, scan_topic: str | None = None,
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("bag")
-    p.add_argument("out")
+    p.add_argument("out", nargs="?", default=None)
     p.add_argument("--scan-topic", default=None)
     p.add_argument("--imu-topic", default=None)
     p.add_argument("--odom-topic", default=None)
+    p.add_argument("--list-topics", action="store_true",
+                   help="print the bag's topics/types and exit")
     args = p.parse_args(argv)
+    if args.list_topics:
+        for topic, mtype in sorted(BagReader(args.bag).topics().items()):
+            print(f"{topic}  [{mtype}]")
+        return 0
+    if args.out is None:
+        p.error("out directory required (or use --list-topics)")
     report = convert(args.bag, args.out, args.scan_topic, args.imu_topic,
                      args.odom_topic)
     print(report)
