@@ -92,6 +92,10 @@ class SurfelMap(NamedTuple):
 _HALO_COS_TOL = 0.9986
 _HALO_D_TOL = 0.02
 
+# steady-state claim batch: scans claim at most this many new voxels via
+# the compacted path; more claimable points (cold start) use the full batch
+_CLAIM_CAP = 4096
+
 
 def _sym_to_mat(s: jax.Array) -> jax.Array:
     """(..., 6) [xx yy zz xy xz yz] -> (..., 3, 3) symmetric matrix."""
@@ -320,24 +324,45 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
     coords = voxel_coords(points, m.res)
 
     # 1. locate existing voxels; claim slots for new ones. Steady-state
-    # scans mostly touch EXISTING voxels, so the whole claim machinery (4
-    # scatter-min rounds over the table + a re-locate) is skipped via
-    # lax.cond when every masked point is already present — the
-    # data-adaptive fast path (ikd-tree-like amortization; semantics are
-    # identical because with zero claimable points every claim scatter is
-    # a no-op).
+    # scans mostly touch EXISTING voxels, so the claim machinery is
+    # data-adaptive (ikd-tree-like amortization), three tiers by the
+    # number of claimable points, all with identical semantics:
+    #  - zero: skip claiming entirely (every claim scatter would no-op);
+    #  - few (the steady state — a frontier of fresh voxels per scan):
+    #    compact the claimable rows to _CLAIM_CAP and run the scatter-min
+    #    rounds over that small batch;
+    #  - many (cold start / entering unmapped areas): full-batch rounds.
     slot, found = _locate(m, coords)
-    need_claim = jnp.any(mask & ~found)
+    claimable = mask & ~found
+    need_claim = jnp.any(claimable)
+    n_pts0 = points.shape[0]
+    claim_cap = min(_CLAIM_CAP, n_pts0)
 
     def do_claim(_):
         occ0 = m.occupied
-        w0 = jnp.full((t + 1,), _INT_MAX, jnp.int32)
-        occ1, winner, _ = _scatter_rounds(
-            occ0, w0, coords, mask, t, already_present=found)
-        winner = winner[:t]
-        newly = winner != _INT_MAX
-        widx = jnp.where(newly, winner, 0)
-        new_coords = jnp.where(newly[:, None], coords[widx], m.coords)
+
+        def claim_with(bcoords, bmask):
+            w0 = jnp.full((t + 1,), _INT_MAX, jnp.int32)
+            occ1, winner, _ = _scatter_rounds(occ0, w0, bcoords, bmask, t)
+            winner = winner[:t]
+            newly = winner != _INT_MAX
+            widx = jnp.where(newly, winner, 0)
+            new_coords = jnp.where(newly[:, None], bcoords[widx], m.coords)
+            return new_coords, occ1
+
+        def compact(_):
+            order = jnp.argsort(jnp.logical_not(claimable), stable=True)
+            return claim_with(coords[order][:claim_cap],
+                              claimable[order][:claim_cap])
+
+        def full(_):
+            return claim_with(coords, claimable)
+
+        if claim_cap < n_pts0:
+            new_coords, occ1 = jax.lax.cond(
+                jnp.sum(claimable) <= claim_cap, compact, full, None)
+        else:
+            new_coords, occ1 = full(None)
         m1 = m._replace(coords=new_coords, occupied=occ1)
         # points that landed in a claimed-new slot get that slot
         slot2, found2 = _locate(m1, coords)
