@@ -310,3 +310,14 @@ def test_save_results_writes_result_bag(tmp_path):
     assert len(pose) == pipe.current_kf_idx
     _, xyzi, _ = decode_pointcloud2(pcd[0][3])
     assert len(xyzi) > 50 and xyzi.shape[1] == 4
+
+
+def test_bag_convert_list_topics(tmp_path, capsys):
+    from fast_lio_sam_qn_tpu.tools.bag_convert import main
+
+    path = str(tmp_path / "x.bag")
+    _write_bag(path, compression="none", with_odom=True)
+    assert main([path, "--list-topics"]) == 0
+    out = capsys.readouterr().out
+    assert "/os_cloud_node/points  [sensor_msgs/PointCloud2]" in out
+    assert "/Odometry  [nav_msgs/Odometry]" in out
