@@ -97,6 +97,14 @@ _HALO_D_TOL = 0.02
 _CLAIM_CAP = 4096
 
 
+def _compact(key: jax.Array, cap: int, *arrays: jax.Array):
+    """Stable-sort rows by ascending key and keep the first `cap` — the
+    fixed-shape compaction idiom shared by the hood-refit, claim, and halo
+    paths (boolean callers pass ~wanted so wanted rows sort first)."""
+    order = jnp.argsort(key, stable=True)
+    return tuple(a[order][:cap] for a in arrays)
+
+
 def _sym_to_mat(s: jax.Array) -> jax.Array:
     """(..., 6) [xx yy zz xy xz yz] -> (..., 3, 3) symmetric matrix."""
     xx, yy, zz, xy, xz, yz = (s[..., i] for i in range(6))
@@ -261,9 +269,8 @@ def _refit_planes(m: SurfelMap, slots: jax.Array, slot_valid: jax.Array,
     # phase 2: hood fit for the rest (compacted when capped)
     need_hood = slot_valid & ~use_own
     if hood_cap is not None and hood_cap < s_rows:
-        order = jnp.argsort(jnp.logical_not(need_hood), stable=True)
-        h_slots = slots[order][:hood_cap]
-        h_valid = need_hood[order][:hood_cap]
+        h_slots, h_valid = _compact(
+            jnp.logical_not(need_hood), hood_cap, slots, need_hood)
     else:
         h_slots = slots
         h_valid = need_hood
@@ -351,9 +358,8 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
             return new_coords, occ1
 
         def compact(_):
-            order = jnp.argsort(jnp.logical_not(claimable), stable=True)
-            return claim_with(coords[order][:claim_cap],
-                              claimable[order][:claim_cap])
+            return claim_with(*_compact(
+                jnp.logical_not(claimable), claim_cap, coords, claimable))
 
         def full(_):
             return claim_with(coords, claimable)
@@ -431,10 +437,8 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
         # priority: frontier first, dirty refresh second
         prio = jnp.where(use & valid_after & frontier, 0,
                          jnp.where(src_plane_ok, 1, 2)).astype(jnp.int32)
-        horder = jnp.argsort(prio, stable=True)
-        h_src_coords = coords[horder][:halo_cap]
-        h_src_sidx = sidx[horder][:halo_cap]
-        src_plane_ok = src_plane_ok[horder][:halo_cap]
+        h_src_coords, h_src_sidx, src_plane_ok = _compact(
+            prio, halo_cap, coords, sidx, src_plane_ok)
     else:
         h_src_coords = coords
         h_src_sidx = sidx

@@ -148,7 +148,39 @@ class BagReader:
         return topic, mtype, t, data
 
     def topics(self) -> dict:
-        """{topic: type} discovered by a full scan of connection records."""
+        """{topic: type} from the connection records.
+
+        Fast path: indexed bags repeat their connection records in the
+        index section, located by the bag header's index_pos — seek there
+        and read metadata only, skipping every chunk's payload (a
+        multi-GB bz2/lz4 bag would otherwise be fully decompressed for a
+        metadata query). Unindexed bags (index_pos 0) fall back to the
+        full scan."""
+        index_pos = 0
+        with open(self.path, "rb") as f:
+            f.seek(self._start)
+            head = f.read(4)
+            if len(head) == 4:
+                (hlen,) = struct.unpack("<I", head)
+                hdr = _parse_header(f.read(hlen))
+                if hdr.get("op", b"\x00")[0] == _OP_BAGHDR and \
+                        "index_pos" in hdr:
+                    (index_pos,) = struct.unpack("<Q", hdr["index_pos"])
+            if index_pos > 0:
+                f.seek(index_pos)
+                while True:
+                    head = f.read(4)
+                    if len(head) < 4:
+                        break
+                    (hlen,) = struct.unpack("<I", head)
+                    hdr = _parse_header(f.read(hlen))
+                    (dlen,) = struct.unpack("<I", f.read(4))
+                    data = f.read(dlen)
+                    if hdr.get("op", b"\x00")[0] == _OP_CONNECTION:
+                        self._register_connection(hdr, data)
+                if self.connections:
+                    return {c.topic: c.type
+                            for c in self.connections.values()}
         for _ in self.messages():
             pass
         return {c.topic: c.type for c in self.connections.values()}
@@ -292,9 +324,18 @@ def _w_record(fields: dict, data: bytes) -> bytes:
         "<I", len(data)) + data
 
 
-def _w_time(t: float) -> bytes:
+def _sec_nsec(t: float) -> tuple[int, int]:
+    """Normalized ROS time: 0 <= nsec < 1e9 (rounding may carry into sec)."""
     sec = int(t)
-    return struct.pack("<II", sec, int(round((t - sec) * 1e9)))
+    nsec = int(round((t - sec) * 1e9))
+    if nsec >= 1_000_000_000:
+        sec += 1
+        nsec -= 1_000_000_000
+    return sec, nsec
+
+
+def _w_time(t: float) -> bytes:
+    return struct.pack("<II", *_sec_nsec(t))
 
 
 def _w_string(s: str) -> bytes:
@@ -306,6 +347,64 @@ def _w_string(s: str) -> bytes:
 _MSG_MD5 = {
     "sensor_msgs/PointCloud2": "1158d486dd51d683ce2f1be655c3c181",
     "geometry_msgs/PoseStamped": "d3812c3cbc69362b77dc0b19b345f8f5",
+}
+
+_HEADER_DEF = """MSG: std_msgs/Header
+uint32 seq
+time stamp
+string frame_id
+"""
+
+# canonical gendeps-style message definitions (genpy-based consumers —
+# rosbag Python API, rostopic echo — rebuild the message class from this
+# text; an empty definition would deserialize to a fieldless class)
+_MSG_DEFS = {
+    "sensor_msgs/PointCloud2": """std_msgs/Header header
+uint32 height
+uint32 width
+sensor_msgs/PointField[] fields
+bool is_bigendian
+uint32 point_step
+uint32 row_step
+uint8[] data
+bool is_dense
+================================================================================
+""" + _HEADER_DEF + """\
+================================================================================
+MSG: sensor_msgs/PointField
+uint8 INT8=1
+uint8 UINT8=2
+uint8 INT16=3
+uint8 UINT16=4
+uint8 INT32=5
+uint8 UINT32=6
+uint8 FLOAT32=7
+uint8 FLOAT64=8
+string name
+uint32 offset
+uint8 datatype
+uint32 count
+""",
+    "geometry_msgs/PoseStamped": """std_msgs/Header header
+geometry_msgs/Pose pose
+================================================================================
+""" + _HEADER_DEF + """\
+================================================================================
+MSG: geometry_msgs/Pose
+geometry_msgs/Point position
+geometry_msgs/Quaternion orientation
+================================================================================
+MSG: geometry_msgs/Point
+float64 x
+float64 y
+float64 z
+================================================================================
+MSG: geometry_msgs/Quaternion
+float64 x
+float64 y
+float64 z
+float64 w
+""",
 }
 
 
@@ -335,7 +434,8 @@ class BagWriter:
                  + _w_field("type", mtype.encode())
                  + _w_field("md5sum",
                             _MSG_MD5.get(mtype, "*").encode())
-                 + _w_field("message_definition", b""))
+                 + _w_field("message_definition",
+                            _MSG_DEFS.get(mtype, "").encode()))
         self._conn_records.append(_w_record(
             {"op": b"\x07", "conn": struct.pack("<I", cid),
              "topic": topic.encode()}, inner))
@@ -345,15 +445,17 @@ class BagWriter:
         self._msgs.append((self._conn(topic, mtype), t, msg))
 
     def close(self):
-        chunk = b""
+        parts = list(self._conn_records)
+        pos = sum(len(p) for p in parts)
         offsets = []  # (cid, t, offset into uncompressed chunk)
-        for rec in self._conn_records:
-            chunk += rec
         for cid, t, msg in self._msgs:
-            offsets.append((cid, t, len(chunk)))
-            chunk += _w_record(
+            offsets.append((cid, t, pos))
+            rec = _w_record(
                 {"op": b"\x02", "conn": struct.pack("<I", cid),
                  "time": _w_time(t)}, msg)
+            parts.append(rec)
+            pos += len(rec)
+        chunk = b"".join(parts)
         with open(self._path, "wb") as f:
             f.write(b"#ROSBAG V2.0\n")
             # bag header record, padded to 4096 bytes like real bags;
@@ -398,8 +500,9 @@ class BagWriter:
                     + _w_field("conn_count",
                                struct.pack("<I", len(self._conns)))
                     + _w_field("chunk_count", struct.pack("<I", 1)))
-        # pad the DATA portion so the whole record occupies 4096+8 bytes
-        pad = 4096 - len(rec_head)
+        # pad the DATA portion with spaces so the WHOLE record (both length
+        # fields + header + data) occupies exactly 4096 bytes, per the spec
+        pad = 4096 - 8 - len(rec_head)
         return (struct.pack("<I", len(rec_head)) + rec_head
                 + struct.pack("<I", pad) + b" " * pad)
 
@@ -409,8 +512,7 @@ def encode_pointcloud2(stamp: float, xyzi: np.ndarray,
     """Serialize an (N, 4) xyzi float32 array as sensor_msgs/PointCloud2."""
     xyzi = np.ascontiguousarray(xyzi, np.float32)
     n = len(xyzi)
-    sec = int(stamp)
-    buf = struct.pack("<III", 0, sec, int(round((stamp - sec) * 1e9)))
+    buf = struct.pack("<III", 0, *_sec_nsec(stamp))
     buf += _w_string(frame_id)
     buf += struct.pack("<II", 1, n)
     fields = [("x", 0), ("y", 4), ("z", 8), ("intensity", 12)]
@@ -428,28 +530,13 @@ def encode_pointcloud2(stamp: float, xyzi: np.ndarray,
 def encode_pose_stamped(stamp: float, T: np.ndarray,
                         frame_id: str = "map") -> bytes:
     """Serialize a (4, 4) pose as geometry_msgs/PoseStamped."""
-    sec = int(stamp)
-    buf = struct.pack("<III", 0, sec, int(round((stamp - sec) * 1e9)))
+    from ..ops import se3
+
+    buf = struct.pack("<III", 0, *_sec_nsec(stamp))
     buf += _w_string(frame_id)
-    R = np.asarray(T, np.float64)[:3, :3]
-    tr = np.asarray(T, np.float64)[:3, 3]
-    # rotation matrix -> quaternion (w-last ROS order), Shepperd's method
-    tq = np.trace(R)
-    if tq > 0:
-        s = np.sqrt(tq + 1.0) * 2
-        qw = 0.25 * s
-        qx = (R[2, 1] - R[1, 2]) / s
-        qy = (R[0, 2] - R[2, 0]) / s
-        qz = (R[1, 0] - R[0, 1]) / s
-    else:
-        i = int(np.argmax(np.diag(R)))
-        j, k = (i + 1) % 3, (i + 2) % 3
-        s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 0.0)) * 2
-        q = [0.0, 0.0, 0.0]
-        q[i] = 0.25 * s
-        q[j] = (R[j, i] + R[i, j]) / s
-        q[k] = (R[k, i] + R[i, k]) / s
-        qw = (R[k, j] - R[j, k]) / s
-        qx, qy, qz = q
-    buf += struct.pack("<7d", tr[0], tr[1], tr[2], qx, qy, qz, qw)
+    T = np.asarray(T, np.float64)
+    # the single rot->quat implementation of the repo (xyzw, w >= 0)
+    qx, qy, qz, qw = np.asarray(
+        se3.rot_to_quat(np.asarray(T[:3, :3], np.float32)), np.float64)
+    buf += struct.pack("<7d", T[0, 3], T[1, 3], T[2, 3], qx, qy, qz, qw)
     return buf
