@@ -74,7 +74,7 @@ def test_mulran_preset_runs_end_to_end(tmp_path):
         [sys.executable, "-m", "fast_lio_sam_qn_tpu.run",
          "--kitti", str(out), "--preset", "mulran",
          "--out", str(tmp_path / "res")],
-        env=env, capture_output=True, text=True, timeout=600,
+        env=env, capture_output=True, text=True, timeout=1200,
         cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-2000:]
     assert '"scans": 4' in r.stdout

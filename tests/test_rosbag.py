@@ -239,7 +239,7 @@ def test_bag_to_run_end_to_end(tmp_path):
     r = subprocess.run(
         [sys.executable, "-m", "fast_lio_sam_qn_tpu.run",
          "--kitti", str(out), "--preset", "newer-college2020"],
-        env=env, capture_output=True, text=True, timeout=600,
+        env=env, capture_output=True, text=True, timeout=1200,
         cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-2000:]
     rep = json.loads(r.stdout)
