@@ -152,15 +152,22 @@ def _null_dispatch_ms():
 def _amortized_ms(src, dst):
     """Dispatch-free steady-state per-match latency: chain matches inside
     one fori_loop, each iteration's input perturbed by the previous
-    iteration's output (real data dependency — DCE-proof)."""
+    iteration's output (real data dependency — DCE-proof).
+
+    BOTH clouds and BOTH viewpoints are perturbed by the carry: with only
+    the src perturbed, XLA LICM hoists the entire loop-invariant dst-side
+    FPFH + covariance extraction out of the fori_loop and the measurement
+    undercounts ~2 ms of real per-match work (round-2 verdict, Weak #1)."""
     import jax
     import jax.numpy as jnp
 
     def loop(r, src, dst):
-        (va, vma, vp1), rest = src, dst
+        (va, vma, vp1), (vb, vmb, vp2) = src, dst
 
         def body(i, carry):
-            T, fit, conv = full_match((va + carry * 1e-9, vma, vp1), rest)
+            T, fit, conv = full_match(
+                (va + carry * 1e-9, vma, vp1 + carry * 1e-9),
+                (vb + carry * 1e-9, vmb, vp2 + carry * 1e-9))
             return fit + jnp.sum(T) * 1e-9
 
         return jax.lax.fori_loop(0, r, body, jnp.float32(0.0))
@@ -214,7 +221,9 @@ def main():
     r_err = float(np.linalg.norm(err[:3]))
     print(f"match error vs ground truth: {t_err*100:.1f} cm, "
           f"{np.degrees(r_err):.2f} deg", file=sys.stderr)
-    assert t_err < 0.30 and r_err < 0.05, (
+    # tightened to ~3x measured (1.8 cm / 0.0017 rad) per round-2 verdict
+    # Weak #9 so a silent accuracy regression can't hide behind the gate
+    assert t_err < 0.06 and r_err < 0.01, (
         f"benchmark match inaccurate: {t_err:.3f} m / {r_err:.4f} rad")
 
     null_ms = _null_dispatch_ms()
@@ -222,11 +231,18 @@ def main():
     print(f"single-call {ms:.1f} ms | dispatch floor {null_ms:.1f} ms | "
           f"amortized steady-state {amort_ms:.1f} ms/match", file=sys.stderr)
 
+    # headline value = amortized steady-state (apples-to-apples with the
+    # reference's 128.6 ms "avg ICP time" over a live run); the single-call
+    # number rides the tunnel's fluctuating 29-55 ms dispatch round-trip and
+    # is carried as a secondary key (round-2 verdict, Weak #2)
     print(json.dumps({
-        "metric": "quatro_nano_gicp_loop_match_latency",
-        "value": round(ms, 3),
+        "metric": "quatro_nano_gicp_loop_match_amortized_latency",
+        "value": round(amort_ms, 3),
         "unit": "ms",
-        "vs_baseline": round(BASELINE_MS / ms, 3),
+        "vs_baseline": round(BASELINE_MS / amort_ms, 3),
+        "single_call_ms": round(ms, 3),
+        "dispatch_floor_ms": round(null_ms, 3),
+        "amortized_ms": round(amort_ms, 3),
     }))
 
 

@@ -218,13 +218,14 @@ class LoopClosure:
 
             # cache the jitted sharded program per mesh: rebuilding the
             # vmapped callable every tick would defeat the jit cache and
-            # re-trace the whole FPFH+Quatro+GICP program each call
-            key = id(mesh)
-            fn = self._sharded_batch_cache.get(key)
+            # re-trace the whole FPFH+Quatro+GICP program each call.
+            # Keyed by the Mesh itself (hashable): an id() key could alias
+            # a dead mesh's address and return a stale program.
+            fn = self._sharded_batch_cache.get(mesh)
             if fn is None:
                 fn = spmd.make_sharded_loop_closure_batch(
                     mesh, self._perform_impl)
-                self._sharded_batch_cache[key] = fn
+                self._sharded_batch_cache[mesh] = fn
             return fn(store, query_idxs, closest_idxs)
         return self._perform_batch_jit(store, query_idxs, closest_idxs)
 

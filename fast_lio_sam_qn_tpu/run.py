@@ -291,6 +291,201 @@ def run_parity(args):
     return pipe, report
 
 
+def _pack_imu(rows, imu_cap: int = 64):
+    """Pad IMU rows ``[t gx gy gz ax ay az]`` to the fixed device capacity."""
+    it = np.zeros(imu_cap, np.float32)
+    ig = np.zeros((imu_cap, 3), np.float32)
+    ia = np.zeros((imu_cap, 3), np.float32)
+    im = np.zeros(imu_cap, bool)
+    k = min(len(rows), imu_cap)
+    if k:
+        r = np.asarray(rows)[:k]
+        it[:k] = r[:, 0]
+        ig[:k] = r[:, 1:4]
+        ia[:k] = r[:, 4:7]
+        im[:k] = True
+    return it, ig, ia, im
+
+
+def run_bag(args):
+    """Direct bag streaming — the reference's `rosbag play seq.bag` driving
+    path (/root/reference/README.md:83-94) without ROS or an intermediate
+    bag_convert pass: BagReader -> decoders -> LIO + PGO pipeline, one
+    message at a time, memory bounded by the scan/IMU look-ahead.
+
+    With --odom-topic the bag's odometry drives the pipeline instead of our
+    LIO front end (parity mode), the two streams paired by ApproxTimeSync
+    exactly like the reference's message_filters sync
+    (fast_lio_sam_qn.cpp:75-78)."""
+    import jax.numpy as jnp
+
+    from collections import deque
+
+    from .configs.presets import get_pipeline_config
+    from .models.lio import LIO
+    from .models.pipeline import FastLioSamQnPipeline
+    from .runtime.rosbag import (BagReader, decode_imu, decode_odometry,
+                                 decode_pointcloud2)
+    from .utils import sweep
+    from .utils.profiling import Profiler
+    from .utils.sim import pad_cloud
+
+    cfg = get_pipeline_config(args.preset)
+    pipe = FastLioSamQnPipeline(cfg)
+    prof = Profiler()
+    obs = RunObservers(args, cfg.vis_hz)
+    reader = BagReader(args.bag)
+    scan_topic = args.scan_topic
+    imu_topic = args.imu_topic
+    cap = cfg.lio.max_points_per_scan if not args.odom_topic \
+        else cfg.caps.keyframe_points
+    off = cfg.lio.time_offset_lidar_to_imu
+
+    if args.odom_topic:
+        from .runtime import ApproxTimeSync
+
+        sync = ApproxTimeSync(slop=args.sync_slop)
+        scans, odoms = {}, {}
+        na = nb = n_fed = 0
+        with prof.span("run"):
+            for topic, mtype, trec, raw in reader.messages():
+                if mtype == "sensor_msgs/PointCloud2" and scan_topic is None:
+                    scan_topic = topic
+                if topic == scan_topic and \
+                        mtype == "sensor_msgs/PointCloud2":
+                    stamp, xyzi, _ = decode_pointcloud2(
+                        raw, timestamp_unit=cfg.lio.timestamp_unit)
+                    scans[na] = xyzi
+                    sync.push_a(stamp + off, na)
+                    na += 1
+                elif topic == args.odom_topic and \
+                        mtype == "nav_msgs/Odometry":
+                    stamp, T = decode_odometry(raw)
+                    odoms[nb] = T
+                    sync.push_b(stamp, nb)
+                    nb += 1
+                else:
+                    continue
+                while (p := sync.pop()) is not None:
+                    ia_, ib_, _, tb = p
+                    xyzi = scans.pop(ia_)
+                    T = odoms.pop(ib_)
+                    pts, inten = xyzi[:, :3], xyzi[:, 3]
+                    if args.world_frame:
+                        Ti = np.linalg.inv(T)
+                        pts = pts @ Ti[:3, :3].T + Ti[:3, 3]
+                    if len(pts) > cap:
+                        step = int(np.ceil(len(pts) / cap))
+                        pts, inten = pts[::step], inten[::step]
+                    cloud, mask = pad_cloud(pts.astype(np.float32), cap)
+                    ipad = np.zeros(cap, np.float32)
+                    ipad[: len(inten)] = inten[:cap]
+                    pipe.feed(jnp.asarray(T, jnp.float32),
+                              jnp.asarray(cloud), jnp.asarray(mask),
+                              float(tb), intensity=jnp.asarray(ipad))
+                    obs.tick(pipe, float(tb))
+                    n_fed += 1
+        sync.close()
+        return pipe, {
+            "mode": "bag", "scans": n_fed,
+            "dropped_unmatched": (na + nb) - 2 * n_fed - len(scans)
+            - len(odoms), "keyframes": pipe.current_kf_idx,
+            "loops_accepted": len(pipe.loop_idx_pairs),
+            "loop_attempts": len(pipe.loop_events),
+            "scan_topic": scan_topic, "odom_topic": args.odom_topic,
+            "timing": prof.summary(),
+        }
+
+    lio = LIO(cfg.lio)
+    state = None
+    imu_rows: deque = deque()      # time-ordered [t gx gy gz ax ay az]
+    imu_seen: list = []            # pre-init retention for gravity estimate
+    pending: deque = deque()       # (t_eff, pts, inten, rel_or_None)
+    last_t = None
+    n_fed = 0
+
+    def drain(force: bool = False):
+        nonlocal state, last_t, n_fed
+        # a scan is ready once an IMU sample past its stamp has arrived
+        # (or the bag ended): its (t0, t1] IMU window is then complete
+        while pending and (force or
+                           (imu_rows and imu_rows[-1][0] > pending[0][0])):
+            t1, pts, inten, rel = pending.popleft()
+            t0 = last_t if last_t is not None else t1 - 0.1
+            if state is None:
+                pre = [r for r in imu_seen if r[0] <= t1]
+                init_rows = np.asarray(pre if len(pre) >= 5
+                                       else imu_seen[:20] or
+                                       [[t1, 0, 0, 0, 0, 0, 9.81]])
+                gdir, bg = LIO.init_from_imu(init_rows[:, 1:4],
+                                             init_rows[:, 4:7])
+                state = lio.init_state(gravity_dir=gdir, gyro_bias=bg,
+                                       t0=t0)
+                imu_seen.clear()
+            if rel is None:
+                rel = sweep.synthesize_rel_times(
+                    pts, t1 - t0, cfg.lio.lidar_type, cfg.lio.scan_line)
+            if len(pts) > cap:
+                step = int(np.ceil(len(pts) / cap))
+                pts, rel, inten = pts[::step], rel[::step], inten[::step]
+            cloud, mask = pad_cloud(pts.astype(np.float32), cap)
+            ipad = np.zeros(cap, np.float32)
+            ipad[: len(inten)] = inten[:cap]
+            relp = np.zeros(cap, np.float32)
+            relp[: len(rel)] = rel[:cap]
+            window = []
+            while imu_rows and imu_rows[0][0] <= t1:
+                r = imu_rows.popleft()
+                if r[0] > t0:
+                    window.append(r)
+            it, ig, ia_, im = _pack_imu(window)
+            with prof.span("lio"):
+                state, res = lio.process_scan(
+                    state, jnp.asarray(cloud), jnp.asarray(relp),
+                    jnp.asarray(mask), jnp.asarray(it), jnp.asarray(ig),
+                    jnp.asarray(ia_), jnp.asarray(im), float(t0), float(t1),
+                    inten=jnp.asarray(ipad))
+            with prof.span("pgo"):
+                pipe.feed(res.pose, res.cloud_body, res.cloud_mask,
+                          float(t1), intensity=res.intensity)
+            obs.tick(pipe, float(t1))
+            last_t = t1
+            n_fed += 1
+
+    with prof.span("run"):
+        for topic, mtype, trec, raw in reader.messages():
+            if mtype == "sensor_msgs/PointCloud2" and scan_topic is None:
+                scan_topic = topic
+            if mtype == "sensor_msgs/Imu" and imu_topic is None:
+                imu_topic = topic
+            if topic == scan_topic and mtype == "sensor_msgs/PointCloud2":
+                with prof.span("decode"):
+                    stamp, xyzi, rel = decode_pointcloud2(
+                        raw, timestamp_unit=cfg.lio.timestamp_unit)
+                has_rel = rel is not None and len(rel) and \
+                    float(rel.max()) > 0
+                pending.append((stamp + off, xyzi[:, :3], xyzi[:, 3],
+                                rel if has_rel else None))
+            elif topic == imu_topic and mtype == "sensor_msgs/Imu":
+                stamp, gyro, acc = decode_imu(raw)
+                row = [stamp, *gyro, *acc]
+                imu_rows.append(row)
+                if state is None:
+                    imu_seen.append(row)
+            else:
+                continue
+            drain()
+        drain(force=True)
+
+    return pipe, {
+        "mode": "bag", "scans": n_fed, "keyframes": pipe.current_kf_idx,
+        "loops_accepted": len(pipe.loop_idx_pairs),
+        "loop_attempts": len(pipe.loop_events),
+        "scan_topic": scan_topic, "imu_topic": imu_topic,
+        "timing": prof.summary(),
+    }
+
+
 def run_kitti(args):
     import jax.numpy as jnp
 
@@ -298,6 +493,7 @@ def run_kitti(args):
     from .models.lio import LIO
     from .models.pipeline import FastLioSamQnPipeline
     from .runtime import ScanLoader
+    from .utils import sweep
     from .utils.profiling import Profiler
     from .utils.sim import pad_cloud
 
@@ -309,6 +505,8 @@ def run_kitti(args):
 
     scan_paths = sorted(glob.glob(os.path.join(args.kitti, "scans", "*.bin")))
     stamps = np.loadtxt(os.path.join(args.kitti, "times.txt"))
+    # lidar stamps onto the IMU clock (kimera-multi.yaml:6)
+    stamps = stamps + cfg.lio.time_offset_lidar_to_imu
     imu = np.loadtxt(os.path.join(args.kitti, "imu.txt"))  # t gx gy gz ax..az
     n = min(len(scan_paths), len(stamps))
     if args.n_scans:
@@ -343,10 +541,13 @@ def run_kitti(args):
             xyzi = loader.get(i)
             pts = xyzi[:, :3].astype(np.float32)
             inten = xyzi[:, 3].astype(np.float32)
-            # synthesize per-point sweep times from azimuth (KITTI bins
-            # carry no per-point stamps; azimuth is the sweep coordinate)
-            az = np.arctan2(pts[:, 1], pts[:, 0])
-            rel = ((-az + np.pi) % (2 * np.pi)) / (2 * np.pi) * (t1 - t0)
+            # true per-point sweep times when the dataset carries them
+            # (rel_times/ sidecar from bag_convert), else synthesized by
+            # the configured lidar pattern (utils/sweep.py)
+            rel = sweep.load_rel_times(args.kitti, i, len(pts))
+            if rel is None:
+                rel = sweep.synthesize_rel_times(
+                    pts, t1 - t0, cfg.lio.lidar_type, cfg.lio.scan_line)
             if len(pts) > cap:
                 step = int(np.ceil(len(pts) / cap))
                 pts, rel, inten = pts[::step], rel[::step], inten[::step]
@@ -406,6 +607,18 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--sim", action="store_true")
     p.add_argument("--kitti", help="KITTI-style dataset dir")
+    p.add_argument("--bag",
+                   help="ROS bag file: stream it straight into the pipeline "
+                        "(the `rosbag play` driving path, README.md:83-94) "
+                        "— LIO+PGO by default, or odometry-driven parity "
+                        "with --odom-topic")
+    p.add_argument("--scan-topic", default=None,
+                   help="--bag: PointCloud2 topic (default: first found)")
+    p.add_argument("--imu-topic", default=None,
+                   help="--bag: Imu topic (default: first found)")
+    p.add_argument("--odom-topic", default=None,
+                   help="--bag: drive the pipeline from this nav_msgs/"
+                        "Odometry topic instead of the LIO front end")
     p.add_argument("--scans", help="scan dir for parity mode")
     p.add_argument("--poses", help="KITTI-format odometry pose file")
     p.add_argument("--stamps", help="timestamps file (one float per scan)")
@@ -419,6 +632,11 @@ def main(argv=None):
                    help="scans are world-frame (un-transform by pose)")
     p.add_argument("--preset", default="kitti")
     p.add_argument("--out", default=None, help="export directory")
+    p.add_argument("--no-auto-save", action="store_true",
+                   help="skip the shutdown auto-save: without --out, runs "
+                        "export to ./results/<seq_name> whenever the "
+                        "config's save flags are set, like the reference "
+                        "destructor (fast_lio_sam_qn.cpp:415-450)")
     p.add_argument("--plot", default=None, help="write a trajectory/map PNG")
     p.add_argument("--save-trigger", default=None,
                    help="mid-run save request file: when it appears, export "
@@ -452,20 +670,34 @@ def main(argv=None):
         pipe, report = run_sim(args)
     elif args.kitti:
         pipe, report = run_kitti(args)
+    elif args.bag:
+        pipe, report = run_bag(args)
     elif args.scans and args.poses:
         pipe, report = run_parity(args)
     else:
-        p.error("pick a mode: --sim | --kitti DIR | --scans DIR --poses F")
+        p.error("pick a mode: --sim | --kitti DIR | --bag FILE | "
+                "--scans DIR --poses F")
 
     if args.checkpoint and "checkpoint" not in report:
         from .utils.checkpoint import save_checkpoint
 
         save_checkpoint(pipe, args.checkpoint)
         report["checkpoint"] = args.checkpoint
+    cfgp = pipe.cfg
     if args.out:
         from .utils.io import save_results
 
         out_dir = save_results(pipe, args.out)
+        report["exported_to"] = out_dir
+    elif not args.no_auto_save and (
+            cfgp.save_map_pcd or cfgp.save_map_bag or
+            cfgp.save_in_kitti_format):
+        # reference destructor parity: results are saved on shutdown
+        # whenever the save flags are set, --out or not
+        # (fast_lio_sam_qn.cpp:415-450)
+        from .utils.io import save_results
+
+        out_dir = save_results(pipe, "results")
         report["exported_to"] = out_dir
     if args.plot:
         from .utils.viz import plot_results

@@ -206,12 +206,18 @@ _PF_DTYPES = {1: np.int8, 2: np.uint8, 3: np.int16, 4: np.uint16,
               5: np.int32, 6: np.uint32, 7: np.float32, 8: np.float64}
 
 
-def decode_pointcloud2(buf: bytes):
+def decode_pointcloud2(buf: bytes, timestamp_unit: int = -1):
     """sensor_msgs/PointCloud2 -> (stamp, (N, 4) xyzi f32, rel_time (N,)).
 
     rel_time comes from a per-point 'time'/'t'/'timestamp'/'time_offset'
     field when present (seconds, normalized to the scan minimum), else
-    zeros. Intensity 0 when absent."""
+    zeros. Intensity 0 when absent.
+
+    timestamp_unit (FAST-LIO convention, kitti.yaml:12): 0 s, 1 ms, 2 us,
+    3 ns — the unit of the raw time field. -1 infers it from the field's
+    name/dtype (ouster 't' is uint32 ns; velodyne 'time' / livox
+    'time_offset' are float32 s; hesai 'timestamp' is float64 absolute s),
+    falling back to a logged value-range heuristic for unknown layouts."""
     (stamp, _), i = _read_ros_header(buf, 0)
     height, width = struct.unpack_from("<II", buf, i)
     i += 8
@@ -241,16 +247,17 @@ def decode_pointcloud2(buf: bytes):
     n = len(raw) // point_step
     raw = raw[:n * point_step].reshape(n, point_step)
 
-    def col(name):
+    def col(name, with_dtype=False):
         for fname, off, dtype, cnt in fields:
             if fname == name:
                 dt = _PF_DTYPES.get(dtype)
                 if dt is None:
-                    return None
+                    return (None, None) if with_dtype else None
                 w = np.dtype(dt).itemsize
-                return raw[:, off:off + w].copy().view(dt)[:, 0].astype(
+                vals = raw[:, off:off + w].copy().view(dt)[:, 0].astype(
                     np.float64)
-        return None
+                return (vals, np.dtype(dt)) if with_dtype else vals
+        return (None, None) if with_dtype else None
 
     x, y, z = col("x"), col("y"), col("z")
     if x is None or y is None or z is None:
@@ -259,21 +266,50 @@ def decode_pointcloud2(buf: bytes):
     if inten is None:
         inten = np.zeros(n, np.float64)
     xyzi = np.stack([x, y, z, inten], -1).astype(np.float32)
-    rel = None
+    rel = rel_dt = tf = None
     for tf in ("time", "t", "timestamp", "time_offset", "point_time"):
-        rel = col(tf)
+        rel, rel_dt = col(tf, with_dtype=True)
         if rel is not None:
             break
     if rel is None:
         relf = np.zeros(n, np.float32)
     else:
         rel = rel - rel.min() if len(rel) else rel
-        # normalize units: ouster 't' is ns, velodyne 'time' is s
-        if len(rel) and rel.max() > 10.0:
-            scale = 1e-9 if rel.max() > 1e6 else 1e-6
-            rel = rel * scale
-        relf = rel.astype(np.float32)
+        relf = (rel * _rel_time_scale(tf, rel_dt, rel, timestamp_unit)
+                ).astype(np.float32)
     return stamp, xyzi, relf
+
+
+_TS_UNIT_SCALE = {0: 1.0, 1: 1e-3, 2: 1e-6, 3: 1e-9}
+
+
+def _rel_time_scale(fname: str, dt: np.dtype, rel: np.ndarray,
+                    timestamp_unit: int) -> float:
+    """Seconds-per-unit of a per-point time field.
+
+    Explicit config wins; otherwise the unit is keyed on field name/dtype
+    (the conventions are fixed per driver), and only an unknown layout hits
+    the value-range fallback — which logs its guess, since a mis-scaled
+    sweep silently corrupts deskew."""
+    if timestamp_unit in _TS_UNIT_SCALE:
+        return _TS_UNIT_SCALE[timestamp_unit]
+    if dt.kind in "iu":
+        if fname == "t":                       # ouster driver: uint32 ns
+            return 1e-9
+    elif fname in ("time", "time_offset", "point_time", "timestamp"):
+        # velodyne 'time' / livox 'time_offset' are float32 s; hesai
+        # 'timestamp' is float64 absolute s (already min-normalized here)
+        return 1.0
+    mx = float(rel.max()) if len(rel) else 0.0
+    scale = 1.0 if mx <= 10.0 else (1e-9 if mx > 1e6 else 1e-6)
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "per-point time field %r (%s, max %.3g) has no known unit "
+        "convention; guessing %s — set preprocess/timestamp_unit to "
+        "override", fname, dt, mx,
+        {1.0: "seconds", 1e-6: "microseconds", 1e-9: "nanoseconds"}[scale])
+    return scale
 
 
 def decode_imu(buf: bytes):

@@ -8,9 +8,14 @@ equivalent of that playback: it extracts the LiDAR PointCloud2 + Imu
 topics via runtime/rosbag.py and writes the shared dataset layout consumed
 by `run.py --kitti <out> --preset <preset>`:
 
-    <out>/scans/%06d.bin  packed float32 xyzi
-    <out>/times.txt       scan timestamps (header stamps), seconds from t0
-    <out>/imu.txt         rows: t gx gy gz ax ay az
+    <out>/scans/%06d.bin      packed float32 xyzi (KITTI velodyne layout)
+    <out>/rel_times/%06d.npy  per-point sweep times, float32 seconds from
+                              scan start — written only when the bag's
+                              PointCloud2 carries a time field (ouster 't',
+                              velodyne 'time', ...); consumed by run.py for
+                              true-time deskew instead of azimuth synthesis
+    <out>/times.txt           scan timestamps (header stamps), seconds from t0
+    <out>/imu.txt             rows: t gx gy gz ax ay az
 
 Topics are auto-detected (first PointCloud2 / first Imu connection) unless
 given. Odometry topics can additionally be exported for parity mode
@@ -33,25 +38,33 @@ from ..runtime.rosbag import (BagReader, decode_imu, decode_odometry,
 
 def convert(bag_path: str, out_dir: str, scan_topic: str | None = None,
             imu_topic: str | None = None,
-            odom_topic: str | None = None) -> dict:
+            odom_topic: str | None = None,
+            timestamp_unit: int = -1) -> dict:
     reader = BagReader(bag_path)
     os.makedirs(os.path.join(out_dir, "scans"), exist_ok=True)
+    rel_dir = os.path.join(out_dir, "rel_times")
+    os.makedirs(rel_dir, exist_ok=True)
     times = []
     imu_rows = []
     odom_rows = []
     odom_times = []
     t0 = None
     n_scan = 0
+    have_rel = False
     for topic, mtype, trec, raw in reader.messages():
         if mtype == "sensor_msgs/PointCloud2" and scan_topic is None:
             scan_topic = topic
         if mtype == "sensor_msgs/Imu" and imu_topic is None:
             imu_topic = topic
         if topic == scan_topic and mtype == "sensor_msgs/PointCloud2":
-            stamp, xyzi, rel = decode_pointcloud2(raw)
+            stamp, xyzi, rel = decode_pointcloud2(
+                raw, timestamp_unit=timestamp_unit)
             t0 = stamp if t0 is None else min(t0, stamp)
             xyzi.astype(np.float32).tofile(
                 os.path.join(out_dir, "scans", f"{n_scan:06d}.bin"))
+            np.save(os.path.join(rel_dir, f"{n_scan:06d}.npy"),
+                    rel.astype(np.float32))
+            have_rel = have_rel or (len(rel) > 0 and float(rel.max()) > 0.0)
             times.append(stamp)
             n_scan += 1
         elif topic == imu_topic and mtype == "sensor_msgs/Imu":
@@ -66,6 +79,12 @@ def convert(bag_path: str, out_dir: str, scan_topic: str | None = None,
     if n_scan == 0:
         raise ValueError(f"{bag_path}: no PointCloud2 messages "
                          f"(scan_topic={scan_topic!r})")
+    if not have_rel:
+        # bag carries no usable per-point times: drop the sidecar so run.py
+        # falls back to lidar_type-pattern synthesis (utils/sweep.py)
+        import shutil
+
+        shutil.rmtree(rel_dir)
     t0 = t0 or 0.0
     np.savetxt(os.path.join(out_dir, "times.txt"),
                np.asarray(times) - t0, fmt="%.9f")
@@ -74,7 +93,8 @@ def convert(bag_path: str, out_dir: str, scan_topic: str | None = None,
         rows[:, 0] -= t0
         np.savetxt(os.path.join(out_dir, "imu.txt"), rows, fmt="%.9f")
     report = {"scans": n_scan, "imu_samples": len(imu_rows),
-              "scan_topic": scan_topic, "imu_topic": imu_topic}
+              "scan_topic": scan_topic, "imu_topic": imu_topic,
+              "per_point_times": have_rel}
     if odom_rows:
         np.savetxt(os.path.join(out_dir, "odom_poses.txt"),
                    np.asarray(odom_rows), fmt="%.9f")
@@ -91,6 +111,11 @@ def main(argv=None):
     p.add_argument("--scan-topic", default=None)
     p.add_argument("--imu-topic", default=None)
     p.add_argument("--odom-topic", default=None)
+    p.add_argument("--timestamp-unit", type=int, default=-1,
+                   choices=(-1, 0, 1, 2, 3),
+                   help="unit of the PointCloud2 per-point time field "
+                        "(FAST-LIO convention: 0 s, 1 ms, 2 us, 3 ns; "
+                        "-1 = infer from field name/dtype)")
     p.add_argument("--list-topics", action="store_true",
                    help="print the bag's topics/types and exit")
     args = p.parse_args(argv)
@@ -101,7 +126,7 @@ def main(argv=None):
     if args.out is None:
         p.error("out directory required (or use --list-topics)")
     report = convert(args.bag, args.out, args.scan_topic, args.imu_topic,
-                     args.odom_topic)
+                     args.odom_topic, timestamp_unit=args.timestamp_unit)
     print(report)
     return 0
 

@@ -58,7 +58,11 @@ def convert(seq_dir: str, out_dir: str, link: bool = True) -> dict:
         raise FileNotFoundError(
             f"{seq_dir}: expected Ouster/ and xsens_imu.csv under the "
             "sequence (or its sensor_data/) directory")
-    scan_files = sorted(glob.glob(os.path.join(ouster_dir, "*.bin")))
+    # sort by the parsed integer stamp, not lexicographically: ns filenames
+    # with differing digit counts would otherwise scramble the sequence
+    scan_files = sorted(
+        glob.glob(os.path.join(ouster_dir, "*.bin")),
+        key=lambda p: int(os.path.splitext(os.path.basename(p))[0]))
     if not scan_files:
         raise FileNotFoundError(f"no .bin scans in {ouster_dir}")
     # scan stamp = filename (nanoseconds, scan END per MulRan docs)

@@ -154,8 +154,11 @@ def load_checkpoint(pipeline, path: str, lio_template=None):
     # static (non-array) leaves like SurfelMap.res round-trip as 0-d arrays;
     # restore them to the template's Python type
     tmpl_leaves = jax.tree.leaves(lio_template)
-    assert len(tmpl_leaves) == n_leaves, (
-        "LIO checkpoint layout mismatch: config/backend differs from save")
+    if len(tmpl_leaves) != n_leaves:  # user-facing: must survive python -O
+        raise ValueError(
+            f"LIO checkpoint layout mismatch ({n_leaves} saved leaves vs "
+            f"{len(tmpl_leaves)} in the template): the checkpoint was saved "
+            "with a different config/map backend")
     leaves = [type(t)(leaf) if not hasattr(t, "shape") else leaf
               for t, leaf in zip(tmpl_leaves, leaves)]
     lio_state = jax.tree.unflatten(treedef, leaves)

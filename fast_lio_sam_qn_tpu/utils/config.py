@@ -106,8 +106,20 @@ class LioConfig:
     kitti.yaml:8-27, and the launch-level params kitti.launch:6-12)."""
 
     # preprocess
+    # lidar_type selects the per-point sweep-time synthesis pattern when the
+    # source carries no time field (utils/sweep.py): azimuth-based for the
+    # spinning types, acquisition-order ramp for livox
     lidar_type: str = "velodyne"              # velodyne | ouster | livox
-    scan_line: int = 64
+    scan_line: int = 64                       # rings; sweep.py quantizes
+                                              # synthesized times to firing
+                                              # columns of this many points
+    # unit of the per-point time/t field in source PointCloud2 messages
+    # (FAST-LIO convention, kitti.yaml:12): 0 s, 1 ms, 2 us, 3 ns; -1 = infer
+    # from field name/dtype (runtime/rosbag.py decode_pointcloud2)
+    timestamp_unit: int = -1
+    # added to every lidar stamp before pairing with the IMU stream
+    # (kimera-multi.yaml:6 time_offset_lidar_to_imu)
+    time_offset_lidar_to_imu: float = 0.0
     blind: float = 2.0                        # drop points closer than this [m]
     point_filter_num: int = 4                 # keep every Nth point
     # mapping / filter
@@ -313,6 +325,11 @@ def load_lio_yaml(path_or_dict, base: Optional[LioConfig] = None) -> LioConfig:
     if lt is not None:
         lio.lidar_type = lidar_types.get(int(lt), "velodyne")
     lio.scan_line = int(_lookup(tree, "preprocess/scan_line", lio.scan_line))
+    lio.timestamp_unit = int(
+        _lookup(tree, "preprocess/timestamp_unit", lio.timestamp_unit))
+    lio.time_offset_lidar_to_imu = float(
+        _lookup(tree, "common/time_offset_lidar_to_imu",
+                lio.time_offset_lidar_to_imu))
     lio.blind = float(_lookup(tree, "preprocess/blind", lio.blind))
     lio.acc_cov = float(_lookup(tree, "mapping/acc_cov", lio.acc_cov))
     lio.gyr_cov = float(_lookup(tree, "mapping/gyr_cov", lio.gyr_cov))

@@ -9,11 +9,10 @@ src/fast_lio_sam_qn.cpp:327-450):
   decimals (:346,365-372),
 - accumulated corrected map voxelized and saved as ``<seq>_map.pcd``
   (:398-412),
-- a keyframe archive (``result_keyframes.npz``) standing in for the
-  reference's ``result.bag`` (/keyframe_pcd + /keyframe_pose at keyframe
-  timestamps, :380-396) — same content, consumed by the localization
-  sibling; an actual rosbag writer is not meaningful without ROS message
-  serialization on the TPU host.
+- the reference's ``result.bag`` itself — a real indexed rosbag 2.0 with
+  /keyframe_pcd + /keyframe_pose at keyframe timestamps (:380-396),
+  written by runtime/rosbag.py's BagWriter — plus a fast-loading
+  ``result_keyframes.npz`` twin of the same content.
 
 Plus readers: PCD (ASCII + binary), KITTI velodyne ``.bin``, KITTI/TUM pose
 files (for the evaluation harness).

@@ -168,3 +168,47 @@ def test_strict_parity_default_on_reference_yaml():
     plain = PipelineConfig()
     assert plain.loop.consensus_window == 10
     assert plain.robust_delta == 1.0
+
+
+def test_every_lio_config_field_is_consumed():
+    """No dead parity-veneer config (round-2 verdict Weak #5): every
+    LioConfig field must be READ somewhere outside the config/preset layer
+    (a stored-but-never-consumed field is worse than an absent one)."""
+    import dataclasses
+    import glob
+    import os
+    import re
+
+    from fast_lio_sam_qn_tpu.utils.config import LioConfig
+
+    pkg = os.path.join(os.path.dirname(__file__), "..",
+                       "fast_lio_sam_qn_tpu")
+    src = ""
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        rel = os.path.relpath(path, pkg)
+        if rel in (os.path.join("utils", "config.py"),
+                   os.path.join("configs", "presets.py")):
+            continue
+        src += open(path).read()
+    missing = [f.name for f in dataclasses.fields(LioConfig)
+               if not re.search(rf"\b{f.name}\b", src)]
+    assert not missing, f"LioConfig fields never consumed: {missing}"
+
+
+def test_lio_yaml_loads_timestamp_and_offset_keys():
+    """preprocess/timestamp_unit and common/time_offset_lidar_to_imu load
+    from reference-format FAST-LIO YAML (kitti.yaml:5-13 semantics)."""
+    from fast_lio_sam_qn_tpu.utils.config import load_lio_yaml
+
+    lio = load_lio_yaml({
+        "common": {"time_offset_lidar_to_imu": -0.02},
+        "preprocess": {"lidar_type": 3, "scan_line": 64,
+                       "timestamp_unit": 3, "blind": 4.0},
+    })
+    assert lio.lidar_type == "ouster"
+    assert lio.timestamp_unit == 3
+    assert lio.time_offset_lidar_to_imu == -0.02
+    # defaults: auto unit, zero offset
+    base = load_lio_yaml({})
+    assert base.timestamp_unit == -1
+    assert base.time_offset_lidar_to_imu == 0.0

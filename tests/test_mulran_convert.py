@@ -72,7 +72,7 @@ def test_mulran_preset_runs_end_to_end(tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     r = subprocess.run(
         [sys.executable, "-m", "fast_lio_sam_qn_tpu.run",
-         "--kitti", str(out), "--preset", "mulran",
+         "--kitti", str(out), "--preset", "mulran", "--no-auto-save",
          "--out", str(tmp_path / "res")],
         env=env, capture_output=True, text=True, timeout=1200,
         cwd="/root/repo")
