@@ -72,43 +72,36 @@ def full_match(src, dst):
     """FPFH + Quatro coarse + GICP fine — the complete per-loop match
     (loop_closure.cpp:138-159 equivalent).
 
-    The FPFH stage's shared kNN is reused for the GICP plane covariances
-    (identical neighbor sets; src covariances are rotated by the coarse
-    transform since kNN indices are rigid-invariant), so each cloud is
-    searched exactly once."""
+    Feature extraction is the streaming radius-FPFH (ops/fpfh_stream.py):
+    no kNN, no gathers — and the Nano-GICP plane covariances fall out of
+    the same radius moments for free (src covariances are rotated into the
+    coarse-aligned frame, C' = R C R^T, since the neighborhood is
+    rigid-invariant)."""
     import jax.numpy as jnp
 
-    from fast_lio_sam_qn_tpu.ops import fpfh, gicp, quatro, se3
+    from fast_lio_sam_qn_tpu.ops import fpfh, fpfh_stream, gicp, quatro, se3
 
     (va, vma, vp1), (vb, vmb, vp2) = src, dst
-    # k_feat=24/k_normal=20: tuned for this workload's cloud sizes (>=4k
-    # points) and quality-gated by the ground-truth accuracy assertion in
-    # main() (1.8 cm / 0.10 deg measured); the kNN kernel and the post-kNN
-    # gathers are both linear in k (QuatroConfig default stays 48/32)
-    da, fa, (d2a, idxa, vva) = fpfh.fpfh(
-        va, vma, jnp.float32(0.9), jnp.float32(1.5),
-        viewpoint=vp1, k_feat=24, k_normal=20, return_knn=True)
-    db, fb, (d2b, idxb, vvb) = fpfh.fpfh(
-        vb, vmb, jnp.float32(0.9), jnp.float32(1.5),
-        viewpoint=vp2, k_feat=24, k_normal=20, return_knn=True)
-    fa = fpfh.distinctive(da, fa)
-    fb = fpfh.distinctive(db, fb)
+    da, fa, (na, nva, sc) = fpfh_stream.fpfh_radius(
+        va, vma, 0.9, 1.5, viewpoint=vp1)
+    db, fb, (nb, nvb, dc) = fpfh_stream.fpfh_radius(
+        vb, vmb, 0.9, 1.5, viewpoint=vp2)
+    # planarity 65 (vs the 90 default): radius descriptors admit more
+    # borderline-planar points; the tighter gate raises the true-match
+    # count 22 -> 36 of the 200 correspondence slots on this workload,
+    # buying registration margin against platform-level reorderings
+    fa = fpfh.distinctive(da, fa, jnp.float32(65.0))
+    fb = fpfh.distinctive(db, fb, jnp.float32(65.0))
     q = quatro.align(
         va, da, fa, vb, db, fb,
         noise_bound=jnp.float32(0.3), gnc_factor=jnp.float32(1.4),
         cost_diff_thr=jnp.float32(1e-4), distance_threshold=jnp.float32(35.0),
         max_corres=200, rot_max_iter=50)
     src_c = se3.transform_points(va, q.transform)
-    # covariances from the FPFH kNN (first 15 = Nano-GICP's k), rotated into
-    # the coarse-aligned frame: C' = R C R^T
-    sc, sv = gicp.plane_covariances_from_knn(
-        va, vma, va[jnp.clip(idxa[:, :15], 0)], vva[:, :15])
     Rq = q.transform[:3, :3]
     sc = jnp.einsum("ab,nbc,dc->nad", Rq, sc, Rq, precision="highest")
-    dc, dv = gicp.plane_covariances_from_knn(
-        vb, vmb, vb[jnp.clip(idxb[:, :15], 0)], vvb[:, :15])
     fine = gicp.align(src_c, vma, vb, vmb,
-                      src_cov=(sc, sv), dst_cov=(dc, dv))
+                      src_cov=(sc, nva), dst_cov=(dc, nvb))
     T = se3.compose(fine.transform, q.transform)
     return T, fine.fitness, q.converged & fine.converged
 

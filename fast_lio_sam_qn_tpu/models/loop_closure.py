@@ -26,7 +26,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import fpfh, gicp, quatro, se3, voxel
+from ..ops import fpfh, fpfh_stream, gicp, quatro, se3, voxel
 from ..utils.config import LoopClosureConfig
 from .keyframes import KeyframeStore
 
@@ -154,14 +154,16 @@ class LoopClosure:
           jnp.float32(self.cfg.loop_detection_radius),
           jnp.float32(self.cfg.loop_detection_timediff_threshold))
 
-    def icp_alignment(self, src, src_mask, dst, dst_mask, init_T=None):
+    def icp_alignment(self, src, src_mask, dst, dst_mask, init_T=None,
+                      src_cov=None, dst_cov=None):
         gc = self.cfg.gicp
         res = gicp.align(
             src, src_mask, dst, dst_mask, init_T=init_T,
             k=gc.correspondences_number, max_iter=gc.max_iter,
             max_corr_dist=gc.max_corr_dist,
             trans_eps=gc.transformation_epsilon,
-            cov_backend="brute", voxel_res=self.cfg.voxel_res)
+            cov_backend="brute", voxel_res=self.cfg.voxel_res,
+            src_cov=src_cov, dst_cov=dst_cov)
         # acceptance: converged AND below the score threshold
         # (loop_closure.cpp:129) AND — unless degeneracy_gate is off
         # (strict parity) — not translation-degenerate (a TPU-native
@@ -174,18 +176,35 @@ class LoopClosure:
 
     def coarse_to_fine_alignment(self, src, src_mask, dst, dst_mask,
                                  src_vp, dst_vp):
-        """Quatro coarse -> GICP fine (loop_closure.cpp:138-159)."""
+        """Quatro coarse -> GICP fine (loop_closure.cpp:138-159).
+
+        With the default streaming FPFH backend (quatro.fpfh_backend
+        "stream"), feature extraction is the gather-free radius pipeline of
+        ops/fpfh_stream.py and the Nano-GICP plane covariances fall out of
+        the same radius moments — the fine stage's covariance search is
+        skipped (src covariances rotated into the coarse-aligned frame,
+        C' = R C R^T; the neighborhood is rigid-invariant)."""
         qc = self.cfg.quatro
-        ds, fs = fpfh.fpfh(src, src_mask,
-                           jnp.float32(qc.fpfh_normal_radius),
-                           jnp.float32(qc.fpfh_radius), viewpoint=src_vp,
-                           k_feat=qc.fpfh_k_feat, k_normal=qc.fpfh_k_normal)
-        dd, fd = fpfh.fpfh(dst, dst_mask,
-                           jnp.float32(qc.fpfh_normal_radius),
-                           jnp.float32(qc.fpfh_radius), viewpoint=dst_vp,
-                           k_feat=qc.fpfh_k_feat, k_normal=qc.fpfh_k_normal)
-        fs = fpfh.distinctive(ds, fs)
-        fd = fpfh.distinctive(dd, fd)
+        src_covs = dst_covs = None
+        if qc.fpfh_backend == "stream":
+            ds, fs, (_, nvs, cs) = fpfh_stream.fpfh_radius(
+                src, src_mask, qc.fpfh_normal_radius, qc.fpfh_radius,
+                viewpoint=src_vp, cov_radius=qc.fpfh_cov_radius)
+            dd, fd, (_, nvd, cd) = fpfh_stream.fpfh_radius(
+                dst, dst_mask, qc.fpfh_normal_radius, qc.fpfh_radius,
+                viewpoint=dst_vp, cov_radius=qc.fpfh_cov_radius)
+            src_covs, dst_covs = (cs, nvs), (cd, nvd)
+        else:
+            ds, fs = fpfh.fpfh(
+                src, src_mask, jnp.float32(qc.fpfh_normal_radius),
+                jnp.float32(qc.fpfh_radius), viewpoint=src_vp,
+                k_feat=qc.fpfh_k_feat, k_normal=qc.fpfh_k_normal)
+            dd, fd = fpfh.fpfh(
+                dst, dst_mask, jnp.float32(qc.fpfh_normal_radius),
+                jnp.float32(qc.fpfh_radius), viewpoint=dst_vp,
+                k_feat=qc.fpfh_k_feat, k_normal=qc.fpfh_k_normal)
+        fs = fpfh.distinctive(ds, fs, jnp.float32(qc.planarity_threshold))
+        fd = fpfh.distinctive(dd, fd, jnp.float32(qc.planarity_threshold))
         q = quatro.align(
             src, ds, fs, dst, dd, fd,
             noise_bound=jnp.float32(qc.noise_bound),
@@ -195,7 +214,13 @@ class LoopClosure:
             max_corres=qc.max_num_corres, rot_max_iter=qc.rot_max_iter)
         # fine stage always computed (fixed-shape program); gated by q.converged
         src_c = se3.transform_points(src, q.transform)
-        fine, fine_valid = self.icp_alignment(src_c, src_mask, dst, dst_mask)
+        if src_covs is not None:
+            Rq = q.transform[:3, :3]
+            src_covs = (jnp.einsum("ab,nbc,dc->nad", Rq, src_covs[0], Rq,
+                                   precision="highest"), src_covs[1])
+        fine, fine_valid = self.icp_alignment(src_c, src_mask, dst, dst_mask,
+                                              src_cov=src_covs,
+                                              dst_cov=dst_covs)
         final_T = se3.compose(fine.transform, q.transform)
         valid = q.converged & fine_valid
         return final_T, fine.fitness, valid, q

@@ -19,10 +19,15 @@ import jax.numpy as jnp
 
 
 def _dist2_tile(q: jax.Array, d: jax.Array) -> jax.Array:
-    """(m, F), (n, F) -> (m, n) squared euclidean distances (f32 accum)."""
+    """(m, F), (n, F) -> (m, n) squared euclidean distances.
+
+    precision="highest" is load-bearing on TPU: the default bf16 operand
+    passes put O(1) absolute error on d2 at world-coordinate magnitudes
+    and flip a majority of near-tied NN picks (see ops/pallas_knn.py)."""
     qq = jnp.sum(q * q, axis=-1, keepdims=True)
     dd = jnp.sum(d * d, axis=-1)[None, :]
-    cross = jnp.dot(q, d.T, preferred_element_type=jnp.float32)
+    cross = jnp.dot(q, d.T, preferred_element_type=jnp.float32,
+                    precision="highest")
     return jnp.maximum(qq - 2.0 * cross + dd, 0.0)
 
 

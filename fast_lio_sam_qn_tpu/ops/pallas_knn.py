@@ -81,7 +81,13 @@ def _knn_kernel(k: int, n_db: int, feat: int, td: int):
                 qT_ref[...], db_t,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # (TQ, TD)
+            # precision=HIGHEST is load-bearing: preferred_element_type only
+            # sets the accumulator — the MXU still runs bf16 operand passes
+            # by default, which on +-13 m world coordinates puts ~1.2 of
+            # absolute error on d2 and flipped 55% of NN picks (mean 0.12 m
+            # too far) before GICP ever saw them (round-3 measurement)
             d2 = qq[:, None] - 2.0 * cross + dd_t[None, :]
             col = jax.lax.broadcasted_iota(jnp.int32, (TQ, td), 1) + t * td
             keys = (d2.view(jnp.int32) & ~idx_mask) | col

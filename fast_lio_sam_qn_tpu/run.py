@@ -62,12 +62,18 @@ class RunObservers:
     - --watch DIR: every 1/vis_hz of DATA time, dump the corrected
       trajectory, raw-odometry trajectory, and loop pairs into DIR —
       a pull-free live view replacing the 12 rviz publishers.
+    - --watch DIR also serves the live global map with the reference's
+      subscriber-gated semantics (/corrected_map is only built when someone
+      subscribes, then the publisher re-arms, fast_lio_sam_qn.cpp:303-321):
+      touch DIR/map.request and the next tick writes the voxelized
+      corrected map to DIR/corrected_map.pcd and deletes the request file.
     """
 
-    def __init__(self, args, vis_hz: float):
+    def __init__(self, args, vis_hz: float, save_voxel_res: float = 0.3):
         self.trigger = getattr(args, "save_trigger", None)
         self.watch = getattr(args, "watch", None)
         self.period = 1.0 / max(vis_hz, 1e-6)
+        self.save_voxel_res = save_voxel_res
         self._next = None
         if self.watch:
             os.makedirs(self.watch, exist_ok=True)
@@ -83,6 +89,16 @@ class RunObservers:
             print(f"saved results to {dest} (trigger)", file=sys.stderr)
         if not self.watch:
             return
+        req = os.path.join(self.watch, "map.request")
+        if os.path.exists(req) and pipe.current_kf_idx > 0:
+            # on-demand global map, then re-arm by consuming the request
+            # (the /corrected_map subscriber-gated publish,
+            # fast_lio_sam_qn.cpp:303-321)
+            from .utils import io as _io
+
+            pts = pipe.get_global_map(self.save_voxel_res)
+            _io.save_pcd(os.path.join(self.watch, "corrected_map.pcd"), pts)
+            os.remove(req)
         if self._next is None:
             self._next = t
         if t < self._next:
@@ -118,7 +134,7 @@ def run_sim(args):
                           keyframe_points=2048, src_points=2048,
                           dst_points=4096)
     prof = Profiler()
-    obs = RunObservers(args, cfg.vis_hz)
+    obs = RunObservers(args, cfg.vis_hz, cfg.save_voxel_resolution)
 
     trajectory = getattr(args, "trajectory", "loop")
     if trajectory == "figure8":
@@ -280,7 +296,7 @@ def run_parity(args):
     with prof.span("run"):
         _feed_scan_files(pipe, scan_sel, pose_sel, stamps,
                          args.world_frame, cfg.caps.keyframe_points,
-                         obs=RunObservers(args, cfg.vis_hz))
+                         obs=RunObservers(args, cfg.vis_hz, cfg.save_voxel_resolution))
     report = {
         "mode": "parity", "scans": n, "keyframes": pipe.current_kf_idx,
         "dropped_unmatched": dropped,
@@ -333,7 +349,7 @@ def run_bag(args):
     cfg = get_pipeline_config(args.preset)
     pipe = FastLioSamQnPipeline(cfg)
     prof = Profiler()
-    obs = RunObservers(args, cfg.vis_hz)
+    obs = RunObservers(args, cfg.vis_hz, cfg.save_voxel_resolution)
     reader = BagReader(args.bag)
     scan_topic = args.scan_topic
     imu_topic = args.imu_topic
@@ -501,7 +517,7 @@ def run_kitti(args):
     pipe = FastLioSamQnPipeline(cfg)
     lio = LIO(cfg.lio)
     prof = Profiler()
-    obs = RunObservers(args, cfg.vis_hz)
+    obs = RunObservers(args, cfg.vis_hz, cfg.save_voxel_resolution)
 
     scan_paths = sorted(glob.glob(os.path.join(args.kitti, "scans", "*.bin")))
     stamps = np.loadtxt(os.path.join(args.kitti, "times.txt"))
@@ -657,6 +673,12 @@ def main(argv=None):
                         "state from this checkpoint and continue at its "
                         "saved scan index")
     p.add_argument("--n-scans", type=int, default=None)
+    p.add_argument("--scan-cap", type=int, default=None,
+                   help="override lio.max_points_per_scan (static device "
+                        "capacity); small values cut compile time for "
+                        "smoke runs without changing preset semantics")
+    p.add_argument("--table-size", type=int, default=None,
+                   help="override lio.map_table_size (voxel-hash slots)")
     p.add_argument("--trajectory", default="loop",
                    choices=["loop", "figure8", "corridor"])
     p.add_argument("--scan-hz", type=float, default=None, dest="scan_hz")
@@ -665,6 +687,21 @@ def main(argv=None):
 
     if args.resume and not args.kitti:
         p.error("--resume is supported in integrated (--kitti) mode")
+    if args.scan_cap or args.table_size:
+        from .configs import presets as _presets
+
+        base = _presets.get_pipeline_config
+        over = {k: v for k, v in (
+            ("max_points_per_scan", args.scan_cap),
+            ("map_table_size", args.table_size)) if v}
+
+        def patched(preset="kitti"):
+            cfg = base(preset)
+            cfg.lio = dataclasses.replace(cfg.lio, **over)
+            return cfg
+
+        # run_* modes import get_pipeline_config from configs.presets
+        _presets.get_pipeline_config = patched
     _enable_compile_cache()
     if args.sim:
         pipe, report = run_sim(args)

@@ -54,9 +54,20 @@ class QuatroConfig:
     max_num_corres: int = 200                 # typo'd key -> code default 200 wins
     fpfh_normal_radius: float = 0.9           # config.yaml:35 (code default 0.3)
     fpfh_radius: float = 1.5                  # config.yaml:36 (code default 0.5)
-    # TPU-native neighbor caps for the fixed-shape FPFH kernels (PCL radius
-    # search is unbounded). 48/32 is quality-safe down to ~2k-point clouds;
-    # 32/24 is ~20% faster end-to-end and validated on >=8k-point clouds.
+    # FPFH backend: "stream" (default) = gather-free streaming radius
+    # pipeline (ops/fpfh_stream.py — exact PCL radius semantics, and the
+    # Nano-GICP plane covariances fall out of the same pass); "knn" =
+    # k-capped neighbor-list formulation (ops/fpfh.py)
+    fpfh_backend: str = "stream"
+    # radius of the plane-covariance neighborhood on the stream backend
+    # (~ Nano-GICP's k=15 at 0.3 m voxel spacing)
+    fpfh_cov_radius: float = 0.6
+    # planarity gate of the descriptor distinctiveness filter
+    # (fpfh.distinctive); lower = keep only strongly-structured features
+    planarity_threshold: float = 90.0
+    # TPU-native neighbor caps for the fixed-shape "knn" backend (PCL
+    # radius search is unbounded). 48/32 is quality-safe down to ~2k-point
+    # clouds; 32/24 is ~20% faster and validated on >=8k-point clouds.
     fpfh_k_feat: int = 48
     fpfh_k_normal: int = 32
     estimating_scale: bool = False

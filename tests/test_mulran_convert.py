@@ -73,8 +73,9 @@ def test_mulran_preset_runs_end_to_end(tmp_path):
     r = subprocess.run(
         [sys.executable, "-m", "fast_lio_sam_qn_tpu.run",
          "--kitti", str(out), "--preset", "mulran", "--no-auto-save",
+         "--scan-cap", "4096", "--table-size", "131072",
          "--out", str(tmp_path / "res")],
-        env=env, capture_output=True, text=True, timeout=1200,
+        env=env, capture_output=True, text=True, timeout=600,
         cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-2000:]
     assert '"scans": 4' in r.stdout

@@ -240,8 +240,9 @@ def test_bag_to_run_end_to_end(tmp_path):
     r = subprocess.run(
         [sys.executable, "-m", "fast_lio_sam_qn_tpu.run",
          "--kitti", str(out), "--preset", "newer-college2020",
-         "--no-auto-save"],
-        env=env, capture_output=True, text=True, timeout=1200,
+         "--no-auto-save", "--scan-cap", "4096",
+         "--table-size", "131072"],
+        env=env, capture_output=True, text=True, timeout=600,
         cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-2000:]
     rep = json.loads(r.stdout)
