@@ -199,11 +199,15 @@ def _plane_from(cnt, psum, m2_sym, center):
     denom = jnp.maximum(cnt, 1.0)
     mean = psum / denom[:, None]                          # center-rel
     cov_sym = m2_sym / denom[:, None] - _outer_sym(mean)
-    vals, vecs = linalg3.eigh3(_sym_to_mat(cov_sym))
-    n = vecs[..., :, 0]
+    # struct-of-arrays eigendecomposition: batch in the lanes; packed
+    # order here is [xx yy zz xy xz yz], eigh3_soa wants (00,01,02,11,12,22)
+    evals, evecs = linalg3.eigh3_soa(
+        cov_sym[:, 0], cov_sym[:, 3], cov_sym[:, 4],
+        cov_sym[:, 1], cov_sym[:, 5], cov_sym[:, 2])
+    n = jnp.stack([evecs[0][0], evecs[1][0], evecs[2][0]], axis=-1)
     d = -jnp.sum(n * (center + mean), axis=-1)
-    thick = jnp.sqrt(jnp.maximum(vals[..., 0], 0.0))
-    spread = jnp.sqrt(jnp.maximum(vals[..., 1], 0.0))     # in-plane
+    thick = jnp.sqrt(jnp.maximum(evals[0], 0.0))
+    spread = jnp.sqrt(jnp.maximum(evals[1], 0.0))         # in-plane
     return n, d, thick, spread
 
 
