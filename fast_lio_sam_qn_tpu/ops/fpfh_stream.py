@@ -46,8 +46,66 @@ FPFH_DIM = 33
 _NBINS = 11
 _BIG = 3.4e38
 TQ = 128      # query rows per grid step (TQxTD f32 temporaries in VMEM)
-TD = 1024     # db columns per inner tile
+TD = 512      # db columns per inner tile (sized for bbox tile pruning)
 PLANE_EPS = 1e-3  # gicp.PLANE_EPS (kept local to avoid an import cycle)
+_MORTON_CELL = 0.75  # sort-locality cell [m]; ~half the feature radius
+
+
+def _part1by2(x):
+    """Spread the low 10 bits of int32 x across every third bit."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x30000FF
+    x = (x | (x << 8)) & 0x300F00F
+    x = (x | (x << 4)) & 0x30C30C3
+    x = (x | (x << 2)) & 0x9249249
+    return x
+
+
+def _morton_order(points, mask):
+    """Spatial-locality sort order: morton code over _MORTON_CELL cells,
+    masked points pushed to the end.  Sorting both the query blocks and
+    the db tiles makes each compact in space, so the per-tile bbox test
+    in the kernels prunes the (vast) majority of pair blocks — in-radius
+    pairs are ~1% of the N^2 pair matrix at these workloads."""
+    lo = jnp.min(jnp.where(mask[:, None], points, jnp.inf), axis=0)
+    cell = jnp.clip(((points - lo) / _MORTON_CELL).astype(jnp.int32),
+                    0, 1023)
+    key = (_part1by2(cell[:, 0]) | (_part1by2(cell[:, 1]) << 1)
+           | (_part1by2(cell[:, 2]) << 2))
+    key = jnp.where(mask, key, jnp.int32(2 ** 31 - 1))
+    return jnp.argsort(key)
+
+
+def _tile_bboxes(points_sorted, valid_sorted, n_pad):
+    """(8, n_tiles) per-db-tile bounds [minx miny minz maxx maxy maxz 0 0],
+    masked points excluded (+-inf neutral)."""
+    n = points_sorted.shape[0]
+    p = jnp.pad(points_sorted, ((0, n_pad - n), (0, 0)))
+    v = jnp.pad(valid_sorted, (0, n_pad - n))[:, None]
+    pt = p.reshape(-1, TD, 3)
+    vt = v.reshape(-1, TD, 1)
+    mins = jnp.min(jnp.where(vt, pt, jnp.inf), axis=1)    # (n_tiles, 3)
+    maxs = jnp.max(jnp.where(vt, pt, -jnp.inf), axis=1)
+    pad = jnp.zeros_like(mins[:, :1])
+    return jnp.concatenate([mins, maxs, pad, pad[:, :1]], axis=1).T
+
+
+def _block_bbox(qT, qv):
+    """Scalar (min, max) per axis of the VALID queries in this block."""
+    v = qv > 0.0
+    lo = [jnp.min(jnp.where(v, qT[i:i + 1, :], jnp.inf)) for i in range(3)]
+    hi = [jnp.max(jnp.where(v, qT[i:i + 1, :], -jnp.inf)) for i in range(3)]
+    return lo, hi
+
+
+def _tile_overlaps(bbox_ref, t, lo, hi, r2: float):
+    """Does db tile t's bbox come within radius of the block bbox?"""
+    g2 = jnp.float32(0.0)
+    for i in range(3):
+        gap = jnp.maximum(jnp.maximum(bbox_ref[i, t] - hi[i],
+                                      lo[i] - bbox_ref[3 + i, t]), 0.0)
+        g2 = g2 + gap * gap
+    return g2 <= r2
 
 
 # ---------------------------------------------------------------------------
@@ -75,11 +133,13 @@ def _moments_kernel(n_db: int, td: int, r2a: float, r2b: float):
     over-smooth the planes and open a point-to-plane slide valley in the
     GICP fine stage).  One shared d2 block, two mask matmuls."""
     n_tiles = n_db // td
+    r2max = max(r2a, r2b)
 
-    def kernel(qT_ref, qq_ref, dbT_ref, dd_ref, out_ref):
+    def kernel(qT_ref, qq_ref, qv_ref, dbT_ref, dd_ref, bbox_ref, out_ref):
         qq = qq_ref[...]  # (1, TQ)
+        lo, hi = _block_bbox(qT_ref[...], qv_ref[...])
 
-        def tile(t, acc):
+        def compute(t, acc):
             db_t = dbT_ref[:, pl.ds(t * td, td)]          # (3, TD)
             dd_t = dd_ref[:, pl.ds(t * td, td)]           # (1, TD)
             d2 = _pair_d2(qT_ref[...], qq, db_t, dd_t)
@@ -99,6 +159,12 @@ def _moments_kernel(n_db: int, td: int, r2a: float, r2b: float):
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST))  # (TQ, 10)
             return acc + jnp.concatenate(out, axis=1)
+
+        def tile(t, acc):
+            # bbox prune: tiles beyond the radius contribute exactly zero
+            return jax.lax.cond(
+                _tile_overlaps(bbox_ref, t, lo, hi, r2max),
+                lambda a: compute(t, a), lambda a: a, acc)
 
         out_ref[...] = jax.lax.fori_loop(
             0, n_tiles, tile, jnp.zeros((TQ, 20), jnp.float32))
@@ -185,10 +251,11 @@ def _not_self(qidx, t, td):
 def _spfh_kernel(n_db: int, td: int, r2: float):
     n_tiles = n_db // td
 
-    def kernel(qT_ref, qq_ref, qidx_ref, qnT_ref, dbT_ref, dbnT_ref, dd_ref,
-               out_ref):
+    def kernel(qT_ref, qq_ref, qv_ref, qidx_ref, qnT_ref, dbT_ref,
+               dbnT_ref, dd_ref, bbox_ref, out_ref):
         qq = qq_ref[...]
         qidx = qidx_ref[...]
+        lo, hi = _block_bbox(qT_ref[...], qv_ref[...])
         px = jnp.transpose(qT_ref[0:1, :])
         py = jnp.transpose(qT_ref[1:2, :])
         pz = jnp.transpose(qT_ref[2:3, :])
@@ -196,7 +263,7 @@ def _spfh_kernel(n_db: int, td: int, r2: float):
         uy = jnp.transpose(qnT_ref[1:2, :])
         uz = jnp.transpose(qnT_ref[2:3, :])
 
-        def tile(t, acc):
+        def compute(t, acc):
             db_t = dbT_ref[:, pl.ds(t * td, td)]
             dbn_t = dbnT_ref[:, pl.ds(t * td, td)]
             dd_t = dd_ref[:, pl.ds(t * td, td)]
@@ -205,6 +272,11 @@ def _spfh_kernel(n_db: int, td: int, r2: float):
             alpha, phi, ty, tx = _angles(px, py, pz, ux, uy, uz,
                                          db_t, dbn_t, d2)
             return acc + _hist33(alpha, phi, ty, tx, w)
+
+        def tile(t, acc):
+            return jax.lax.cond(
+                _tile_overlaps(bbox_ref, t, lo, hi, r2),
+                lambda a: compute(t, a), lambda a: a, acc)
 
         out_ref[...] = jax.lax.fori_loop(
             0, n_tiles, tile, jnp.zeros((TQ, FPFH_DIM + 1), jnp.float32))
@@ -215,12 +287,13 @@ def _spfh_kernel(n_db: int, td: int, r2: float):
 def _fpfh_agg_kernel(n_db: int, td: int, r2: float):
     n_tiles = n_db // td
 
-    def kernel(qT_ref, qq_ref, qidx_ref, dbT_ref, dd_ref, spfhT_ref,
-               out_ref):
+    def kernel(qT_ref, qq_ref, qv_ref, qidx_ref, dbT_ref, dd_ref,
+               spfhT_ref, bbox_ref, out_ref):
         qq = qq_ref[...]
         qidx = qidx_ref[...]
+        lo, hi = _block_bbox(qT_ref[...], qv_ref[...])
 
-        def tile(t, acc):
+        def compute(t, acc):
             db_t = dbT_ref[:, pl.ds(t * td, td)]
             dd_t = dd_ref[:, pl.ds(t * td, td)]
             # SPFH arrives TRANSPOSED (33, Np) so each tile slices the
@@ -241,6 +314,11 @@ def _fpfh_agg_kernel(n_db: int, td: int, r2: float):
                 preferred_element_type=jnp.float32)       # (TQ, 33)
             cnt = jnp.sum(in_r.astype(jnp.float32), axis=1, keepdims=True)
             return acc + jnp.concatenate([agg, cnt], axis=1)
+
+        def tile(t, acc):
+            return jax.lax.cond(
+                _tile_overlaps(bbox_ref, t, lo, hi, r2),
+                lambda a: compute(t, a), lambda a: a, acc)
 
         out_ref[...] = jax.lax.fori_loop(
             0, n_tiles, tile, jnp.zeros((TQ, FPFH_DIM + 1), jnp.float32))
@@ -274,23 +352,35 @@ def _dbspec(rows, n_pad):
                         memory_space=pltpu.VMEM)
 
 
+def _bbox_spec(n_pad):
+    return pl.BlockSpec((8, n_pad // TD), lambda i: (0, 0),
+                        memory_space=pltpu.SMEM)
+
+
+def _qv_row(mask, m_pad):
+    return jnp.pad(mask.astype(jnp.float32), (0, m_pad - mask.shape[0])
+                   )[None, :]
+
+
 def _moments_tpu(points, mask, radius: float, cov_radius: float,
                  interpret: bool = False):
     m = points.shape[0]
     penalty = jnp.where(mask, 0.0, _BIG)
     dbT, dd, n_pad = _pad_db(points, penalty)
+    bbox = _tile_bboxes(points, mask, n_pad)
     m_pad = -(-m // TQ) * TQ
     q = _pad_q(points, m_pad)
     out = pl.pallas_call(
         _moments_kernel(n_pad, TD, radius * radius,
                         cov_radius * cov_radius),
         grid=(m_pad // TQ,),
-        in_specs=[_QSPEC3, _QSPEC1, _dbspec(3, n_pad), _dbspec(1, n_pad)],
+        in_specs=[_QSPEC3, _QSPEC1, _QSPEC1, _dbspec(3, n_pad),
+                  _dbspec(1, n_pad), _bbox_spec(n_pad)],
         out_specs=pl.BlockSpec((TQ, 20), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, 20), jnp.float32),
         interpret=interpret,
-    )(q.T, jnp.sum(q * q, -1)[None, :], dbT, dd)
+    )(q.T, jnp.sum(q * q, -1)[None, :], _qv_row(mask, m_pad), dbT, dd, bbox)
     return out[:m]
 
 
@@ -391,16 +481,19 @@ def _spfh_tpu(points, mask, normals, n_valid, radius: float,
     q = _pad_q(points, m_pad)
     qn = _pad_q(normals, m_pad)
     qidx = jnp.arange(m_pad, dtype=jnp.int32)[None, :]
+    bbox = _tile_bboxes(points, mask & n_valid, n_pad)
     out = pl.pallas_call(
         _spfh_kernel(n_pad, TD, radius * radius),
         grid=(m_pad // TQ,),
-        in_specs=[_QSPEC3, _QSPEC1, _QSPEC1, _QSPEC3, _dbspec(3, n_pad),
-                  _dbspec(3, n_pad), _dbspec(1, n_pad)],
+        in_specs=[_QSPEC3, _QSPEC1, _QSPEC1, _QSPEC1, _QSPEC3,
+                  _dbspec(3, n_pad), _dbspec(3, n_pad), _dbspec(1, n_pad),
+                  _bbox_spec(n_pad)],
         out_specs=pl.BlockSpec((TQ, FPFH_DIM + 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, FPFH_DIM + 1), jnp.float32),
         interpret=interpret,
-    )(q.T, jnp.sum(q * q, -1)[None, :], qidx, qn.T, dbT, dbnT, dd)
+    )(q.T, jnp.sum(q * q, -1)[None, :], _qv_row(mask, m_pad), qidx, qn.T,
+      dbT, dbnT, dd, bbox)
     return out[:m]
 
 
@@ -440,16 +533,19 @@ def _fpfh_agg_tpu(points, mask, n_valid, spfh, radius: float,
     m_pad = -(-m // TQ) * TQ
     q = _pad_q(points, m_pad)
     qidx = jnp.arange(m_pad, dtype=jnp.int32)[None, :]
+    bbox = _tile_bboxes(points, mask & n_valid, n_pad)
     out = pl.pallas_call(
         _fpfh_agg_kernel(n_pad, TD, radius * radius),
         grid=(m_pad // TQ,),
-        in_specs=[_QSPEC3, _QSPEC1, _QSPEC1, _dbspec(3, n_pad),
-                  _dbspec(1, n_pad), _dbspec(FPFH_DIM, n_pad)],
+        in_specs=[_QSPEC3, _QSPEC1, _QSPEC1, _QSPEC1, _dbspec(3, n_pad),
+                  _dbspec(1, n_pad), _dbspec(FPFH_DIM, n_pad),
+                  _bbox_spec(n_pad)],
         out_specs=pl.BlockSpec((TQ, FPFH_DIM + 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, FPFH_DIM + 1), jnp.float32),
         interpret=interpret,
-    )(q.T, jnp.sum(q * q, -1)[None, :], qidx, dbT, dd, spfhT)
+    )(q.T, jnp.sum(q * q, -1)[None, :], _qv_row(mask, m_pad), qidx, dbT,
+      dd, spfhT, bbox)
     return out[:m]
 
 
@@ -487,6 +583,14 @@ def on_tpu() -> bool:
                                              "use_tpu"))
 def _fpfh_radius_impl(points, mask, normal_radius, feature_radius,
                       cov_radius, viewpoint, use_tpu: bool):
+    order = None
+    if use_tpu:
+        # spatial-locality sort: makes query blocks AND db tiles compact
+        # so the kernels' bbox test prunes most pair blocks; results are
+        # unsorted on return (identical values, different fp sum order)
+        order = _morton_order(points, mask)
+        points = points[order]
+        mask = mask[order]
     mom = (_moments_tpu if use_tpu else _moments_xla)(
         points, mask, normal_radius, cov_radius)
     normals, n_valid, cov_reg, _ = moments_to_normals_covs(
@@ -507,6 +611,11 @@ def _fpfh_radius_impl(points, mask, normal_radius, feature_radius,
     desc = jnp.concatenate(blocks, axis=-1)
     valid = n_valid & (cnt >= 3)
     desc = jnp.where(valid[:, None], desc, 0.0)
+    if order is not None:
+        inv = jnp.argsort(order)
+        desc, valid = desc[inv], valid[inv]
+        normals, n_valid, cov_reg = (normals[inv], n_valid[inv],
+                                     cov_reg[inv])
     return desc, valid, (normals, n_valid, cov_reg)
 
 

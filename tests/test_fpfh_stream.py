@@ -121,3 +121,27 @@ def test_eigh3_soa_matches_numpy():
                                atol=2e-4)
     dots = np.abs(np.einsum("nij,nij->nj", np.asarray(vecs), ref_vecs))
     assert dots.min() > 0.999, dots.min()
+
+
+def test_bbox_pruning_is_exact(cloud):
+    """Morton-sorted inputs make the tile bbox prune fire; pruned tiles
+    contribute exactly zero, so results must match the unpruned XLA
+    fallback bit-for-bit (same summation order on identical tile sets)."""
+    p, m = cloud
+    order = fs._morton_order(p, m)
+    ps, ms = p[order], m[order]
+    momT = fs._moments_tpu(ps, ms, 0.9, 0.6, interpret=True)
+    momX = fs._moments_xla(ps, ms, 0.9, 0.6)
+    np.testing.assert_allclose(momT, momX, atol=1e-3)
+    n_, nv_, _, _ = fs.moments_to_normals_covs(momX, ps, ms, None)
+    sT = fs._spfh_tpu(ps, ms, n_, nv_, 1.5, interpret=True)
+    sX = fs._spfh_xla(ps, ms, n_, nv_, 1.5)
+    np.testing.assert_allclose(sT, sX, atol=1e-3)
+    spfh = sX[:, :33] / jnp.maximum(sX[:, 33:], 1.0)
+    aT = fs._fpfh_agg_tpu(ps, ms, nv_, spfh, 1.5, interpret=True)
+    aX = fs._fpfh_agg_xla(ps, ms, nv_, spfh, 1.5)
+    np.testing.assert_allclose(aT, aX, rtol=1e-4, atol=1e-2)
+    # the sort must actually enable pruning: every valid point's morton
+    # run is compact (sanity on the order itself)
+    key_sorted = np.asarray(fs._morton_order(ps, ms))
+    assert (np.diff(key_sorted) != 0).all()

@@ -75,7 +75,7 @@ def test_mulran_preset_runs_end_to_end(tmp_path):
          "--kitti", str(out), "--preset", "mulran", "--no-auto-save",
          "--scan-cap", "4096", "--table-size", "131072",
          "--out", str(tmp_path / "res")],
-        env=env, capture_output=True, text=True, timeout=600,
+        env=env, capture_output=True, text=True, timeout=900,
         cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-2000:]
     assert '"scans": 4' in r.stdout

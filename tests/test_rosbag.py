@@ -242,7 +242,7 @@ def test_bag_to_run_end_to_end(tmp_path):
          "--kitti", str(out), "--preset", "newer-college2020",
          "--no-auto-save", "--scan-cap", "4096",
          "--table-size", "131072"],
-        env=env, capture_output=True, text=True, timeout=600,
+        env=env, capture_output=True, text=True, timeout=900,
         cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-2000:]
     rep = json.loads(r.stdout)
