@@ -619,7 +619,27 @@ def run_kitti(args):
     return pipe, report
 
 
+def _apply_platform_override():
+    """Honor FLSQ_PLATFORM (e.g. "cpu") before the jax backend initializes.
+
+    The JAX_PLATFORMS env var is NOT reliable here: site customizations
+    that register accelerator plugins can rewrite it before jax snapshots
+    the environment, silently sending "cpu" subprocesses to the device
+    (observed: e2e CI subprocesses riding the tunneled TPU at ~100+ s per
+    tiny run). jax.config.update wins over the env var as long as no
+    backend has been touched yet — call this before any jax array work."""
+    plat = os.environ.get("FLSQ_PLATFORM")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass  # backend already initialized; leave as-is
+
+
 def main(argv=None):
+    _apply_platform_override()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--sim", action="store_true")
     p.add_argument("--kitti", help="KITTI-style dataset dir")

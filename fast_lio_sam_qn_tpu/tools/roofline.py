@@ -1,0 +1,228 @@
+"""Roofline accounting for the loop-match device time.
+
+The round-2 review observed that the repo's perf claims rested on
+before/after deltas only — nothing quantified how close the remaining
+device time is to any hardware limit.  This tool derives, from the actual
+benchmark clouds and the kernels' static shapes, the work each extraction
+stage performs — MXU FLOPs (in bf16-pass currency, since
+precision=HIGHEST runs 6 operand passes), VPU elementwise ops, and HBM
+bytes — and divides by TPU v5e peak rates to get a per-stage lower-bound
+time.  On TPU it also measures each kernel's amortized steady-state time
+(same differencing discipline as bench.py) and prints the ratio.
+
+Peak-rate assumptions (public numbers, "How to Scale Your Model" mental
+model; approximate by design and labeled as such in the output):
+
+    MXU   197 TFLOP/s bf16      (f32 HIGHEST ~ 197/6 effective)
+    VPU   ~3.9 T f32 op/s       (8 sublanes x 128 lanes x 4 ALUs ~ 1 GHz)
+    HBM   819 GB/s
+
+Key structural facts the table makes visible:
+
+  * The db-side arrays of every kernel are VMEM-resident for the whole
+    grid (constant index maps), so HBM traffic is a one-time ~1 MB per
+    cloud — the workload cannot be HBM-bound.  It is VPU-bound on the
+    SPFH pair blocks that survive the bbox prune.
+  * The bbox tile prune (morton-sorted inputs) is what moved the match
+    from "all N^2/TQ/TD pair blocks" to the surviving fraction printed
+    here; in-radius pairs are ~1% of the pair matrix, so the surviving
+    block fraction bounds how much further pruning (finer tiles/bands)
+    can still win.
+
+Usage: python -m fast_lio_sam_qn_tpu.tools.roofline
+"""
+from __future__ import annotations
+
+import numpy as np
+
+# v5e peak rates (approximate public specs)
+MXU_BF16 = 197e12          # FLOP/s, bf16 operand passes
+VPU_F32 = 3.9e12           # elementwise f32 op/s
+HBM_BPS = 819e9            # bytes/s
+
+# per-pair work constants, derived by reading the kernels
+# (ops/fpfh_stream.py).  "mxu" counts bf16-pass FLOPs: a HIGHEST f32
+# matmul of K MACs costs 2*K*6; default precision costs 2*K.
+_STAGE_COSTS = {
+    # d2 cross (K=3, HIGHEST) + two 10-col moment matmuls (HIGHEST)
+    "moments": dict(mxu=2 * 3 * 6 + 2 * (2 * 10 * 6), vpu=8),
+    # d2 cross + ~30 angle ops + 33 masked row-reductions (~3 ops each)
+    # + binning/compare overhead (measured against the kernel source)
+    "spfh": dict(mxu=2 * 3 * 6, vpu=170),
+    # d2 cross (HIGHEST) + 33-col SPFH matmul (default precision) + w/cnt
+    "agg": dict(mxu=2 * 3 * 6 + 2 * 33, vpu=10),
+}
+
+
+def _block_tile_survivors(points, mask, radius):
+    """(n_blocks, n_tiles) bool: which (query-block, db-tile) pairs survive
+    the kernels' bbox prune on the morton-sorted cloud — the exact same
+    test _tile_overlaps applies, evaluated host-side."""
+    import jax.numpy as jnp
+
+    from fast_lio_sam_qn_tpu.ops import fpfh_stream as fs
+
+    order = np.asarray(fs._morton_order(jnp.asarray(points),
+                                        jnp.asarray(mask)))
+    p = np.asarray(points)[order]
+    v = np.asarray(mask)[order]
+    n = p.shape[0]
+    n_pad = -(-n // fs.TD) * fs.TD
+    m_pad = -(-n // fs.TQ) * fs.TQ
+    pp = np.pad(p, ((0, n_pad - n), (0, 0)))
+    vv = np.pad(v, (0, n_pad - n))
+    tiles = pp.reshape(-1, fs.TD, 3)
+    tmask = vv.reshape(-1, fs.TD, 1)
+    t_lo = np.where(tmask, tiles, np.inf).min(axis=1)      # (n_tiles, 3)
+    t_hi = np.where(tmask, tiles, -np.inf).max(axis=1)
+    qq = np.pad(p, ((0, m_pad - n), (0, 0)))
+    qv = np.pad(v, (0, m_pad - n))
+    blocks = qq.reshape(-1, fs.TQ, 3)
+    bmask = qv.reshape(-1, fs.TQ, 1)
+    b_lo = np.where(bmask, blocks, np.inf).min(axis=1)     # (n_blocks, 3)
+    b_hi = np.where(bmask, blocks, -np.inf).max(axis=1)
+    gap = np.maximum(
+        np.maximum(t_lo[None, :, :] - b_hi[:, None, :],
+                   b_lo[:, None, :] - t_hi[None, :, :]), 0.0)
+    with np.errstate(invalid="ignore"):
+        g2 = np.nansum(gap * gap, axis=-1)
+    return g2 <= radius * radius
+
+
+def stage_budget(points, mask, stage: str, radius: float):
+    """Analytic work budget for one kernel over one cloud (self-join).
+
+    Returns dict with pair-block counts, MXU/VPU/HBM totals and the
+    roofline lower-bound time in ms."""
+    from fast_lio_sam_qn_tpu.ops import fpfh_stream as fs
+
+    surv = _block_tile_survivors(points, mask, radius)
+    n_blocks, n_tiles = surv.shape
+    n_surv = int(surv.sum())
+    pairs = n_surv * fs.TQ * fs.TD
+    c = _STAGE_COSTS[stage]
+    mxu = pairs * c["mxu"]
+    vpu = pairs * c["vpu"]
+    # db rows streamed from HBM once per grid (VMEM-resident after):
+    # 3 coords + 1 dd (+3 normals for spfh, +33 spfh cols for agg)
+    rows = {"moments": 4, "spfh": 7, "agg": 37}[stage]
+    hbm = (n_tiles * fs.TD * rows + n_blocks * fs.TQ * 8) * 4
+    bound_ms = max(mxu / MXU_BF16, vpu / VPU_F32, hbm / HBM_BPS) * 1e3
+    return dict(stage=stage, blocks=n_blocks, tiles=n_tiles,
+                surviving=n_surv, total=n_blocks * n_tiles,
+                prune_keep=n_surv / (n_blocks * n_tiles),
+                mxu_gflop=mxu / 1e9, vpu_gop=vpu / 1e9,
+                hbm_mb=hbm / 1e6, bound_ms=bound_ms)
+
+
+def gicp_nn_budget(n_src, n_dst, iters: int = 4):
+    """Per-iteration GICP correspondence NN: src x dst d2 cross terms with
+    packed-key min extraction, NO tile pruning yet (the queued
+    morton-banding lever).  bf16-pass d2 + ~12 VPU ops per pair."""
+    pairs = n_src * n_dst * iters
+    mxu = pairs * (2 * 3 * 6)
+    vpu = pairs * 12
+    bound_ms = max(mxu / MXU_BF16, vpu / VPU_F32) * 1e3
+    return dict(stage=f"gicp-nn x{iters}", mxu_gflop=mxu / 1e9,
+                vpu_gop=vpu / 1e9, bound_ms=bound_ms)
+
+
+def _measure_kernel_ms(stage, points, mask, radius):
+    """Amortized steady-state time of one kernel on device (TPU only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_lio_sam_qn_tpu.ops import fpfh_stream as fs
+    from fast_lio_sam_qn_tpu.tools.profile_insert import amortized_ms
+
+    order = fs._morton_order(points, mask)
+    ps, ms = points[order], mask[order]
+
+    if stage == "moments":
+        def fn(c, i):
+            out = fs._moments_tpu(ps + c * 1e-9, ms, 0.9, radius)
+            return jnp.sum(out) * 1e-12 + i * 0.0
+    else:
+        mom = fs._moments_tpu(ps, ms, 0.9, 0.6)
+        normals, n_valid, _, _ = fs.moments_to_normals_covs(
+            mom, ps, ms, None)
+        if stage == "spfh":
+            def fn(c, i):
+                out = fs._spfh_tpu(ps + c * 1e-9, ms, normals, n_valid,
+                                   radius)
+                return jnp.sum(out) * 1e-12 + i * 0.0
+        else:
+            raw = fs._spfh_tpu(ps, ms, normals, n_valid, radius)
+            spfh = raw[:, :33] / jnp.maximum(raw[:, 33:], 1.0)
+
+            def fn(c, i):
+                out = fs._fpfh_agg_tpu(ps + c * 1e-9, ms, n_valid, spfh,
+                                       radius)
+                return jnp.sum(out) * 1e-12 + i * 0.0
+    # sub-ms kernels need long loops: differencing 10 iterations of a
+    # ~0.1 ms kernel sits below the tunnel's ms-scale jitter and can even
+    # go negative; 200 extra iterations make the delta ~20-200 ms
+    return amortized_ms(fn, jnp.float32(0.0), r1=10, r2=210)
+
+
+def report(measure: bool | None = None):
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from fast_lio_sam_qn_tpu.ops import fpfh_stream as fs
+
+    if measure is None:
+        measure = fs.on_tpu()
+    (va, vma, _), (vb, vmb, _), _ = bench.build_pair()
+    rows = []
+    radii = {"moments": 0.9, "spfh": 1.5, "agg": 1.5}
+    for cloud, cmask, name in ((va, vma, "src"), (vb, vmb, "dst")):
+        for stage in ("moments", "spfh", "agg"):
+            b = stage_budget(np.asarray(cloud), np.asarray(cmask), stage,
+                             radii[stage])
+            b["cloud"] = name
+            if measure:
+                b["measured_ms"] = _measure_kernel_ms(
+                    stage, cloud, cmask, radii[stage])
+            rows.append(b)
+    print(f"{'stage':<14}{'pairs kept':>12}{'keep%':>7}{'MXU GF':>8}"
+          f"{'VPU Gop':>9}{'HBM MB':>8}{'bound ms':>10}"
+          + ("{:>12}{:>7}".format("meas ms", "SoL%") if measure else ""))
+    tot_bound = tot_meas = 0.0
+    for b in rows:
+        line = (f"{b['cloud'] + ':' + b['stage']:<14}"
+                f"{b['surviving']:>6}/{b['total']:<5}"
+                f"{100 * b['prune_keep']:>6.1f}%"
+                f"{b['mxu_gflop']:>8.2f}{b['vpu_gop']:>9.2f}"
+                f"{b['hbm_mb']:>8.1f}{b['bound_ms']:>10.3f}")
+        tot_bound += b["bound_ms"]
+        if measure:
+            line += (f"{b['measured_ms']:>12.3f}"
+                     f"{100 * b['bound_ms'] / b['measured_ms']:>6.0f}%")
+            tot_meas += b["measured_ms"]
+        print(line)
+    g = gicp_nn_budget(int(np.asarray(vma).sum()), int(np.asarray(vmb).sum()))
+    print(f"{g['stage']:<14}{'(unpruned)':>12}{'':>7}{g['mxu_gflop']:>8.2f}"
+          f"{g['vpu_gop']:>9.2f}{'':>8}{g['bound_ms']:>10.3f}")
+    print(f"\nextraction bound total {tot_bound:.2f} ms"
+          + (f" | measured {tot_meas:.2f} ms "
+             f"({100 * tot_bound / max(tot_meas, 1e-9):.0f}% of "
+             f"speed-of-light)" if measure else ""))
+    print("peaks assumed: MXU 197 TF bf16-pass | VPU 3.9 T f32 op/s | "
+          "HBM 819 GB/s (v5e, approximate)")
+    print("db arrays are VMEM-resident across the grid -> HBM-bound "
+          "nowhere; the binding resource is VPU time on surviving SPFH "
+          "pair blocks")
+    return rows
+
+
+if __name__ == "__main__":
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/flsq_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    report()

@@ -20,6 +20,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# Persistent XLA:CPU compile cache: on this 1-vCPU box the suite is
+# compile-bound; caching across runs keeps `pytest tests/ -q` inside its
+# ~5 min budget (cache keys cover HLO + options, so code changes miss
+# cleanly). Same dir run.py/bench.py use.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/flsq_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert len(jax.devices()) == 8, jax.devices()

@@ -69,13 +69,16 @@ def test_mulran_preset_runs_end_to_end(tmp_path):
     out = tmp_path / "out"
     convert(str(seq), str(out))
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
+    # FLSQ_PLATFORM (not JAX_PLATFORMS): accelerator-plugin sitecustomize
+    # rewrites JAX_PLATFORMS before jax reads it, silently sending the
+    # "cpu" subprocess to the device (run.py _apply_platform_override)
+    env["FLSQ_PLATFORM"] = "cpu"
     r = subprocess.run(
         [sys.executable, "-m", "fast_lio_sam_qn_tpu.run",
          "--kitti", str(out), "--preset", "mulran", "--no-auto-save",
          "--scan-cap", "4096", "--table-size", "131072",
          "--out", str(tmp_path / "res")],
-        env=env, capture_output=True, text=True, timeout=900,
+        env=env, capture_output=True, text=True, timeout=300,
         cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-2000:]
     assert '"scans": 4' in r.stdout

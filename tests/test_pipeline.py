@@ -150,7 +150,7 @@ def test_no_loops_without_revisit():
     assert len(pipe.loop_idx_pairs) == 0
 
 
-def test_batched_loop_mode_not_lossy():
+def test_batched_loop_mode_not_lossy(loop_run):
     """loop_batch > 0 processes every keyframe (the reference's timer is
     documented-lossy); results at least as many accepted loops and a sane
     trajectory."""
@@ -163,8 +163,9 @@ def test_batched_loop_mode_not_lossy():
     _, corrected = pipe.get_trajectories()
     ate = evaluation.ate_rmse(corrected, gt, align=False)
     assert ate < 0.5, ate
-    # batch mode covers at least as many queries as the lossy run
-    lossy_pipe, _ = _run_loop_trajectory(small_config(), n_scans=240, seed=0)
+    # batch mode covers at least as many queries as the lossy run (the
+    # module fixture IS the lossy run: same config/n_scans/seed)
+    lossy_pipe, _ = loop_run
     q_batch = {e.query_idx for e in pipe.loop_events}
     q_lossy = {e.query_idx for e in lossy_pipe.loop_events}
     assert len(q_batch) >= len(q_lossy)
