@@ -105,6 +105,12 @@ def _compact(key: jax.Array, cap: int, *arrays: jax.Array):
     return tuple(a[order][:cap] for a in arrays)
 
 
+def _compact_idx(key: jax.Array, cap: int) -> jax.Array:
+    """Row indices of the first `cap` rows by stable-sorted key — for
+    compactions that must scatter results back to the original rows."""
+    return jnp.argsort(key, stable=True)[:cap]
+
+
 def _sym_to_mat(s: jax.Array) -> jax.Array:
     """(..., 6) [xx yy zz xy xz yz] -> (..., 3, 3) symmetric matrix."""
     xx, yy, zz, xy, xz, yz = (s[..., i] for i in range(6))
@@ -315,7 +321,10 @@ def _refit_planes(m: SurfelMap, slots: jax.Array, slot_valid: jax.Array,
     # whole hood gather/fit block (identical semantics: with zero valid
     # rows every hood scatter is a no-op)
     plane = jax.lax.cond(jnp.any(h_valid), do_hood, lambda p: p, plane)
-    return m._replace(plane=plane)
+    # prev_o is returned so the caller does not re-gather the pre-refit
+    # plane rows it needs for frontier/dirty bookkeeping (a 32k-row
+    # gather saved per insert)
+    return m._replace(plane=plane), prev_o
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -362,21 +371,31 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
             return new_coords, occ1
 
         def compact(_):
-            return claim_with(*_compact(
-                jnp.logical_not(claimable), claim_cap, coords, claimable))
+            # relocate ONLY the compacted rows afterwards: claims fill
+            # previously-EMPTY slots with NEW coords, so no existing row's
+            # probe resolution can change — everything outside ridx keeps
+            # its first-locate slot (saves a full n-row relocate)
+            ridx = _compact_idx(jnp.logical_not(claimable), claim_cap)
+            bcoords = coords[ridx]
+            bmask = claimable[ridx]
+            new_coords, occ1 = claim_with(bcoords, bmask)
+            m1 = m._replace(coords=new_coords, occupied=occ1)
+            bslot, bfound = _locate(m1, bcoords)
+            slot2 = slot.at[ridx].set(jnp.where(bmask, bslot, slot[ridx]))
+            found2 = found.at[ridx].set(bfound | found[ridx])
+            return new_coords, occ1, slot2, found2
 
         def full(_):
-            return claim_with(coords, claimable)
+            new_coords, occ1 = claim_with(coords, claimable)
+            m1 = m._replace(coords=new_coords, occupied=occ1)
+            # points that landed in a claimed-new slot get that slot
+            slot2, found2 = _locate(m1, coords)
+            return new_coords, occ1, slot2, found2
 
         if claim_cap < n_pts0:
-            new_coords, occ1 = jax.lax.cond(
+            return jax.lax.cond(
                 jnp.sum(claimable) <= claim_cap, compact, full, None)
-        else:
-            new_coords, occ1 = full(None)
-        m1 = m._replace(coords=new_coords, occupied=occ1)
-        # points that landed in a claimed-new slot get that slot
-        slot2, found2 = _locate(m1, coords)
-        return new_coords, occ1, slot2, found2
+        return full(None)
 
     def skip_claim(_):
         return m.coords, m.occupied, slot, found
@@ -399,11 +418,13 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
     m = m._replace(mom=m.mom + added)
 
     # 3. refit planes of touched voxels (one slot per unique touched voxel;
-    # duplicates refit redundantly but harmlessly)
-    prev_rows = m.plane[jnp.clip(sidx, 0, t - 1)]         # pre-refit
+    # duplicates refit redundantly but harmlessly). prev_rows are the
+    # pre-refit plane rows (returned by the refit, which gathers them
+    # anyway for change detection).
+    m, prev_rows = _refit_planes(m, jnp.clip(sidx, 0, t - 1), use,
+                                 thickness, hood_cap=hood_cap,
+                                 hood_window=hood_window)
     valid_before = prev_rows[:, 4] > 0.5
-    m = _refit_planes(m, jnp.clip(sidx, 0, t - 1), use, thickness,
-                      hood_cap=hood_cap, hood_window=hood_window)
 
     if not halo:
         return m
@@ -459,50 +480,105 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
         hcoords = (h_src_coords[:, None, :] + face[None]).reshape(
             halo_cap * 6, 3)
         hmask = jnp.repeat(src_plane_ok, 6)
-        _, hfound = _locate(m, hcoords)
-        occupied2 = m.occupied
-        winner0 = jnp.full((t + 1,), _INT_MAX, jnp.int32)
-        occupied2, hwinner, _ = _scatter_rounds(
-            occupied2, winner0, hcoords, hmask, t, already_present=hfound)
-        hwinner = hwinner[:t]
-        hnew = hwinner != _INT_MAX
-        hidx = jnp.where(hnew, hwinner, 0)
-        m = m._replace(
-            coords=jnp.where(hnew[:, None], hcoords[hidx], m.coords),
-            occupied=occupied2,
-        )
+        hslot0, hfound = _locate(m, hcoords)
+        # rows whose target slot is unmapped — only these bid for slots.
+        # In steady state most halo targets already exist (dirty-plane
+        # re-propagation overwrites existing halo slots), so the claim
+        # rounds and the post-claim relocate run over a compacted batch
+        # like the insert's own claim tiers (identical semantics: the
+        # compact path fires only when every needing row fits the cap,
+        # and stable compaction preserves bid order)
+        need = hmask & ~hfound
+
+        def hclaim(bcoords, bmask):
+            winner0 = jnp.full((t + 1,), _INT_MAX, jnp.int32)
+            occupied2, hwinner, _ = _scatter_rounds(
+                m.occupied, winner0, bcoords, bmask, t)
+            hwinner = hwinner[:t]
+            hnew = hwinner != _INT_MAX
+            hidx = jnp.where(hnew, hwinner, 0)
+            coords2 = jnp.where(hnew[:, None], bcoords[hidx], m.coords)
+            return coords2, occupied2
+
+        def hclaim_compact(_):
+            cidx = _compact_idx(jnp.logical_not(need), _CLAIM_CAP)
+            bcoords = hcoords[cidx]
+            bmask = need[cidx]
+            coords2, occupied2 = hclaim(bcoords, bmask)
+            m2 = m._replace(coords=coords2, occupied=occupied2)
+            bslot, bfound = _locate(m2, bcoords)
+            hslot = hslot0.at[cidx].set(
+                jnp.where(bmask, bslot, hslot0[cidx]))
+            hfound2 = hfound.at[cidx].set(bfound | hfound[cidx])
+            return coords2, occupied2, hslot, hfound2
+
+        def hclaim_full(_):
+            coords2, occupied2 = hclaim(hcoords, need)
+            m2 = m._replace(coords=coords2, occupied=occupied2)
+            hslot, hfound2 = _locate(m2, hcoords)
+            return coords2, occupied2, hslot, hfound2
+
+        if _CLAIM_CAP < hcoords.shape[0]:
+            coords2, occupied2, hslot, hfound2 = jax.lax.cond(
+                jnp.sum(need) <= _CLAIM_CAP, hclaim_compact, hclaim_full,
+                None)
+        else:
+            coords2, occupied2, hslot, hfound2 = hclaim_full(None)
+        m = m._replace(coords=coords2, occupied=occupied2)
         # write source planes into halo slots that hold no real points.
         # Multiple sources can target the same halo slot; a plain
         # duplicate-index scatter-set picks a platform-dependent winner
         # (CPU and TPU disagreed on 185 halo planes -> TPU-only LIO
         # divergence) and an arbitrary one is also wrong near creases.
         # Pick deterministically: the source whose plane best explains the
-        # halo voxel's center.
-        hslot, hfound2 = _locate(m, hcoords)
-        src_slot = jnp.repeat(src_clip, 6)
+        # halo voxel's center.  (hslot/hfound2 come from the tiered
+        # claim+relocate above.)
         src_plane6 = jnp.repeat(cleared, 6, axis=0)       # (6H, 6) rows
         writable = hmask & hfound2 & (m.mom[hslot, 0] == 0.0)
-        widx2 = jnp.where(writable, hslot, t)
-        hcenter = _vox_center(hcoords, m.res)
-        score = jnp.abs(
-            jnp.sum(src_plane6[:, :3] * hcenter, axis=-1)
-            + src_plane6[:, 3])
-        score = jnp.where(writable, score, jnp.inf)
-        best = jnp.full((t + 1,), jnp.inf, jnp.float32).at[widx2].min(
-            score, mode="drop")
-        is_best = writable & (score <= best[jnp.clip(widx2, 0, t - 1)])
-        # exact-tie break on candidate rank: every platform writes the same
-        rank = jnp.arange(score.shape[0], dtype=jnp.int32)
-        bidx = jnp.where(is_best, widx2, t)
-        best_rank = jnp.full((t + 1,), _INT_MAX, jnp.int32).at[bidx].min(
-            rank, mode="drop")
-        win = is_best & (rank == best_rank[jnp.clip(bidx, 0, t - 1)])
-        widx3 = jnp.where(win, widx2, t)
-        # one packed scatter copies n, d, valid (dirty already 0).
-        # re-anchoring the plane offset is unnecessary: adjacent voxels of
-        # the same surface share the (n, d) parametrization exactly.
-        return m._replace(
-            plane=m.plane.at[widx3].set(src_plane6, mode="drop"))
+
+        def dedup_write(slot_r, plane_r, coords_r, mask_r):
+            """Scored duplicate-target resolution + the final plane write
+            over R candidate rows (R = full fan or a compacted subset —
+            only mask_r rows compete, and stable compaction preserves
+            their relative order, so the rank tie-break picks the same
+            winner either way)."""
+            widx2 = jnp.where(mask_r, slot_r, t)
+            hcenter = _vox_center(coords_r, m.res)
+            score = jnp.abs(
+                jnp.sum(plane_r[:, :3] * hcenter, axis=-1) + plane_r[:, 3])
+            score = jnp.where(mask_r, score, jnp.inf)
+            best = jnp.full((t + 1,), jnp.inf, jnp.float32).at[widx2].min(
+                score, mode="drop")
+            is_best = mask_r & (score <= best[jnp.clip(widx2, 0, t - 1)])
+            # exact-tie break on candidate rank: every platform writes the
+            # same
+            rank = jnp.arange(score.shape[0], dtype=jnp.int32)
+            bidx = jnp.where(is_best, widx2, t)
+            best_rank = jnp.full((t + 1,), _INT_MAX, jnp.int32).at[
+                bidx].min(rank, mode="drop")
+            win = is_best & (rank == best_rank[jnp.clip(bidx, 0, t - 1)])
+            widx3 = jnp.where(win, widx2, t)
+            # one packed scatter copies n, d, valid (dirty already 0).
+            # re-anchoring the plane offset is unnecessary: adjacent voxels
+            # of the same surface share the (n, d) parametrization exactly.
+            return m._replace(
+                plane=m.plane.at[widx3].set(plane_r, mode="drop"))
+
+        def write_compact(_):
+            # steady state: most fan rows target REAL neighbors (not
+            # writable) — score/dedup/write only the writable subset
+            cidx = _compact_idx(jnp.logical_not(writable), _CLAIM_CAP)
+            return dedup_write(hslot[cidx], src_plane6[cidx],
+                               hcoords[cidx], writable[cidx])
+
+        def write_full(_):
+            return dedup_write(hslot, src_plane6, hcoords, writable)
+
+        if _CLAIM_CAP < hcoords.shape[0]:
+            return jax.lax.cond(
+                jnp.sum(writable) <= _CLAIM_CAP, write_compact, write_full,
+                None)
+        return write_full(None)
 
     # steady-state fast path: a converged map has no frontier and no dirty
     # planes -> the entire halo fan-out (locate x2 + claim rounds + scored
