@@ -126,6 +126,17 @@ def _assert_pallas_parity(cloud, mask):
     rel = jnp.where(v_p, jnp.abs(d_p - d_x) / jnp.maximum(d_x, 1e-6), 0.0)
     assert float(jnp.max(rel)) < 2e-3, (
         f"pallas kNN distance mismatch: {float(jnp.max(rel))}")
+    # banded (bbox-pruned) kernel: must equal the unpruned kernel EXACTLY
+    # on the same morton-sorted inputs (the GICP per-iteration NN path)
+    order = pallas_knn.morton_order(sub, smask)
+    qs, ms = sub[order], smask[order]
+    d_b, i_b, v_b = jax.jit(
+        lambda q, m: pallas_knn._knn_banded_tpu(q, m, q, m, 1))(qs, ms)
+    d_u, i_u, v_u = jax.jit(
+        lambda q, m: pallas_knn._knn_pallas_tpu(q, m, q, m, 1))(qs, ms)
+    assert bool(jnp.all(v_b == v_u)), "banded kNN validity mismatch"
+    assert bool(jnp.all(jnp.where(v_b, (d_b == d_u) & (i_b == i_u), True))
+                ), "banded kNN != unpruned kNN on sorted inputs"
 
 
 def _null_dispatch_ms():

@@ -41,6 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import linalg3
+from .pallas_knn import morton_order as _morton_order  # shared locality sort
 
 FPFH_DIM = 33
 _NBINS = 11
@@ -48,34 +49,6 @@ _BIG = 3.4e38
 TQ = 128      # query rows per grid step (TQxTD f32 temporaries in VMEM)
 TD = 512      # db columns per inner tile (sized for bbox tile pruning)
 PLANE_EPS = 1e-3  # gicp.PLANE_EPS (kept local to avoid an import cycle)
-_MORTON_CELL = 0.75  # sort-locality cell [m]; ~half the feature radius
-
-
-def _part1by2(x):
-    """Spread the low 10 bits of int32 x across every third bit."""
-    x = x & 0x3FF
-    x = (x | (x << 16)) & 0x30000FF
-    x = (x | (x << 8)) & 0x300F00F
-    x = (x | (x << 4)) & 0x30C30C3
-    x = (x | (x << 2)) & 0x9249249
-    return x
-
-
-def _morton_order(points, mask):
-    """Spatial-locality sort order: morton code over _MORTON_CELL cells,
-    masked points pushed to the end.  Sorting both the query blocks and
-    the db tiles makes each compact in space, so the per-tile bbox test
-    in the kernels prunes the (vast) majority of pair blocks — in-radius
-    pairs are ~1% of the N^2 pair matrix at these workloads."""
-    lo = jnp.min(jnp.where(mask[:, None], points, jnp.inf), axis=0)
-    cell = jnp.clip(((points - lo) / _MORTON_CELL).astype(jnp.int32),
-                    0, 1023)
-    key = (_part1by2(cell[:, 0]) | (_part1by2(cell[:, 1]) << 1)
-           | (_part1by2(cell[:, 2]) << 2))
-    key = jnp.where(mask, key, jnp.int32(2 ** 31 - 1))
-    return jnp.argsort(key)
-
-
 def _tile_bboxes(points_sorted, valid_sorted, n_pad):
     """(8, n_tiles) per-db-tile bounds [minx miny minz maxx maxy maxz 0 0],
     masked points excluded (+-inf neutral)."""

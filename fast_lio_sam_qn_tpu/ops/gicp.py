@@ -111,18 +111,19 @@ class _GNState(NamedTuple):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iter",)
+    jax.jit, static_argnames=("max_iter", "banded")
 )
 def _gicp_iterate(
     src, src_mask, src_cov, dst, dst_mask, dst_cov, init_T,
-    max_corr_dist, trans_eps, max_iter,
+    max_corr_dist, trans_eps, max_iter, banded=False,
 ):
     max_d2 = max_corr_dist * max_corr_dist
+    nn = pallas_knn.nn_banded if banded else pallas_knn.nn_pallas
 
     def body(state: _GNState) -> _GNState:
         R = state.T[:3, :3]
         y = se3.transform_points(src, state.T)  # (N,3)
-        d2, idx, nn_ok = pallas_knn.nn_pallas(y, src_mask, dst, dst_mask)
+        d2, idx, nn_ok = nn(y, src_mask, dst, dst_mask)
         corr = nn_ok & (d2 < max_d2)
         j = jnp.clip(idx, 0)
         dpts = dst[j]
@@ -165,12 +166,15 @@ def _gicp_iterate(
     return st
 
 
-@functools.partial(jax.jit, static_argnames=())
-def fitness_score(src, src_mask, dst, dst_mask, T):
+@functools.partial(jax.jit, static_argnames=("banded",))
+def fitness_score(src, src_mask, dst, dst_mask, T, banded=False):
     """PCL Registration::getFitnessScore with default max_range: mean squared
-    distance from each (valid) transformed src point to its dst NN."""
+    distance from each (valid) transformed src point to its dst NN.
+    banded=True uses the bbox-pruned kernel (clouds should be
+    morton-sorted — see pallas_knn.knn_banded)."""
     y = se3.transform_points(src, T)
-    d2, idx, ok = pallas_knn.nn_pallas(y, src_mask, dst, dst_mask)
+    nn = pallas_knn.nn_banded if banded else pallas_knn.nn_pallas
+    d2, idx, ok = nn(y, src_mask, dst, dst_mask)
     w = (ok & src_mask).astype(src.dtype)
     return jnp.sum(d2 * w) / jnp.maximum(jnp.sum(w), 1.0)
 
@@ -190,6 +194,7 @@ def align(
     voxel_res: float = 0.3,
     src_cov: tuple[jax.Array, jax.Array] | None = None,
     dst_cov: tuple[jax.Array, jax.Array] | None = None,
+    banded: bool = True,
 ) -> GicpResult:
     """Full Nano-GICP-equivalent alignment: covariances + GN + fitness.
 
@@ -200,6 +205,14 @@ def align(
     src_cov / dst_cov: optional precomputed (covs (N,3,3), valid (N,))
     pairs — e.g. derived from a kNN pass an earlier stage already ran
     (plane_covariances_from_knn); skips the internal covariance search.
+
+    banded=True (TPU): morton-sorts both clouds once and runs every
+    per-iteration NN + the fitness NN through the bbox-pruned kernel
+    (pallas_knn.knn_banded) — the sort is rigid-transform friendly, so one
+    src sort keeps query blocks compact across all GN iterations. All
+    outputs are permutation-independent (the einsum reductions change fp
+    summation order only). Set False under vmap (spmd.batched_gicp_align)
+    where the pruned kernel's SMEM bbox operand is not batch-tested.
     """
     if init_T is None:
         init_T = jnp.eye(4, dtype=src.dtype)
@@ -213,11 +226,20 @@ def align(
         )
     src_cov, src_ok = src_cov
     dst_cov, dst_ok = dst_cov
+    banded = bool(banded and pallas_knn.on_tpu()
+                  and dst.shape[0] <= pallas_knn.MAX_DB)
+    if banded:
+        so = pallas_knn.morton_order(src, src_mask)
+        do = pallas_knn.morton_order(dst, dst_mask)
+        src, src_mask, src_cov, src_ok = (
+            src[so], src_mask[so], src_cov[so], src_ok[so])
+        dst, dst_mask, dst_cov, dst_ok = (
+            dst[do], dst_mask[do], dst_cov[do], dst_ok[do])
     st = _gicp_iterate(
         src, src_mask & src_ok, src_cov, dst, dst_mask & dst_ok, dst_cov,
-        init_T, max_corr_dist, trans_eps, max_iter,
+        init_T, max_corr_dist, trans_eps, max_iter, banded=banded,
     )
-    fit = fitness_score(src, src_mask, dst, dst_mask, st.T)
+    fit = fitness_score(src, src_mask, dst, dst_mask, st.T, banded=banded)
     # PCL-style: converged_ true once the optimization ran; acceptance is
     # gated by the fitness threshold upstream (loop_closure.cpp:129).
     # Degeneracy: planar scenes leave translation directions unconstrained

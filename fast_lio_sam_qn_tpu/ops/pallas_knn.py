@@ -215,6 +215,251 @@ def on_tpu() -> bool:
     return jax.devices()[0].platform in ("tpu", "axon")
 
 
+# ---------------------------------------------------------------------------
+# banded (bbox-pruned) variant — morton-local clouds skip far db tiles
+# ---------------------------------------------------------------------------
+
+_MORTON_CELL = 0.75  # locality cell [m] (matches fpfh_stream's)
+_PRUNE_SLACK = 1.03  # > 1 + 2^-(23-15): keeps quantized-key ties unpruned
+
+
+def _part1by2(x):
+    """Spread the low 10 bits of int32 x across every third bit."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x30000FF
+    x = (x | (x << 8)) & 0x300F00F
+    x = (x | (x << 4)) & 0x30C30C3
+    x = (x | (x << 2)) & 0x9249249
+    return x
+
+
+def morton_order(points, mask):
+    """Spatial-locality sort order: morton code over _MORTON_CELL cells,
+    masked points pushed to the end. Sorting queries AND db makes query
+    blocks and db tiles compact in space, so per-tile bbox bounds prune
+    most (query block, db tile) pairs. Rigid-transform friendly: a morton
+    block's diameter is preserved under rotation, so one sort of the
+    source cloud keeps blocks compact across all GICP iterations."""
+    lo = jnp.min(jnp.where(mask[:, None], points, jnp.inf), axis=0)
+    cell = jnp.clip(((points - lo) / _MORTON_CELL).astype(jnp.int32),
+                    0, 1023)
+    key = (_part1by2(cell[:, 0]) | (_part1by2(cell[:, 1]) << 1)
+           | (_part1by2(cell[:, 2]) << 2))
+    key = jnp.where(mask, key, jnp.int32(2 ** 31 - 1))
+    return jnp.argsort(key)
+
+
+def _tile_bboxes(points, valid, n_pad, td):
+    """(8, n_tiles) per-db-tile bounds [min xyz | max xyz | 0 0]; masked
+    points excluded (+-inf neutral: empty tiles always fail mindist and
+    never set the upper bound)."""
+    n = points.shape[0]
+    p = jnp.pad(points, ((0, n_pad - n), (0, 0)))
+    v = jnp.pad(valid, (0, n_pad - n))[:, None]
+    pt = p.reshape(-1, td, 3)
+    vt = v.reshape(-1, td, 1)
+    mins = jnp.min(jnp.where(vt, pt, jnp.inf), axis=1)
+    maxs = jnp.max(jnp.where(vt, pt, -jnp.inf), axis=1)
+    pad = jnp.zeros_like(mins[:, :1])
+    return jnp.concatenate([mins, maxs, pad, pad], axis=1).T
+
+
+def _knn_kernel_banded(k: int, n_db: int, feat: int, td: int):
+    """_knn_kernel + bbox tile pruning. A pre-pass over the (SMEM) tile
+    bboxes computes ub2 = min_t maxdist2(query-block bbox, tile t bbox) —
+    an upper bound on every valid query's NN distance (each non-empty
+    tile holds >= 1 valid point). Tiles with mindist2 > ub2*_PRUNE_SLACK
+    cannot hold the NN of any query in the block (nor tie its packed
+    quantized key — the slack covers the idx_bits mantissa truncation),
+    so skipping them leaves the result exactly equal to the unpruned
+    kernel on the same sorted inputs."""
+    n_tiles = n_db // td
+    kc = n_tiles * k
+    idx_bits = max((n_db - 1).bit_length(), 1)
+    idx_mask = (1 << idx_bits) - 1
+
+    def kernel(qT_ref, qq_ref, qv_ref, dbT_ref, dd_ref, bbox_ref,
+               out_d_ref, out_i_ref):
+        qq = qq_ref[0, :]  # (TQ,)
+        cand_slot = jax.lax.broadcasted_iota(jnp.int32, (TQ, kc), 1)
+        qTv = qT_ref[...]
+        v = qv_ref[...] > 0.0  # (1, TQ)
+        lo = [jnp.min(jnp.where(v, qTv[i:i + 1, :], jnp.inf))
+              for i in range(3)]
+        hi = [jnp.max(jnp.where(v, qTv[i:i + 1, :], -jnp.inf))
+              for i in range(3)]
+
+        def ub_body(t, ub2):
+            md2 = jnp.float32(0.0)
+            for i in range(3):
+                e = jnp.maximum(jnp.abs(bbox_ref[3 + i, t] - lo[i]),
+                                jnp.abs(hi[i] - bbox_ref[i, t]))
+                md2 = md2 + e * e
+            return jnp.minimum(ub2, md2)
+
+        ub2 = jax.lax.fori_loop(0, n_tiles, ub_body, jnp.float32(_BIG))
+
+        def tile_near(t):
+            g2 = jnp.float32(0.0)
+            for i in range(3):
+                gap = jnp.maximum(jnp.maximum(bbox_ref[i, t] - hi[i],
+                                              lo[i] - bbox_ref[3 + i, t]),
+                                  0.0)
+                g2 = g2 + gap * gap
+            return g2 <= ub2 * jnp.float32(_PRUNE_SLACK)
+
+        def db_tile(t, cand_key):
+            def process(cand_key):
+                db_t = dbT_ref[:, pl.ds(t * td, td)]
+                dd_t = dd_ref[0, pl.ds(t * td, td)]
+                cross = jax.lax.dot_general(
+                    qTv, db_t,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                d2 = qq[:, None] - 2.0 * cross + dd_t[None, :]
+                col = jax.lax.broadcasted_iota(
+                    jnp.int32, (TQ, td), 1) + t * td
+                keys = (d2.view(jnp.int32) & ~idx_mask) | col
+
+                if k >= 4:
+                    half = td // 2
+                    rmin = jnp.minimum(keys[:, :half], keys[:, half:])
+                    rmax = jnp.maximum(keys[:, :half], keys[:, half:])
+
+                    def extract(j, c2):
+                        rmin, rmax, ck = c2
+                        m = jnp.min(rmin, axis=1)
+                        ck = jnp.where(cand_slot == (t * k + j),
+                                       m[:, None], ck)
+                        sel = rmin == m[:, None]
+                        rmin = jnp.where(sel, rmax, rmin)
+                        rmax = jnp.where(sel, jnp.int32(_IMAX), rmax)
+                        return (rmin, rmax, ck)
+
+                    _, _, cand_key2 = jax.lax.fori_loop(
+                        0, k, extract, (rmin, rmax, cand_key))
+                    return cand_key2
+
+                def extract(j, c2):
+                    keys, ck = c2
+                    m = jnp.min(keys, axis=1)
+                    ck = jnp.where(cand_slot == (t * k + j),
+                                   m[:, None], ck)
+                    keys = jnp.where(keys == m[:, None],
+                                     jnp.int32(_IMAX), keys)
+                    return (keys, ck)
+
+                _, cand_key2 = jax.lax.fori_loop(
+                    0, k, extract, (keys, cand_key))
+                return cand_key2
+
+            return jax.lax.cond(tile_near(t), process,
+                                lambda ck: ck, cand_key)
+
+        cand_key0 = jnp.full((TQ, kc), _IMAX, jnp.int32)
+        cand_key = jax.lax.fori_loop(0, n_tiles, db_tile, cand_key0)
+
+        def decode(key):
+            return (key & ~idx_mask).view(jnp.float32), key & idx_mask
+
+        if n_tiles == 1:
+            od, oi = decode(cand_key)
+            out_d_ref[...] = od
+            out_i_ref[...] = oi
+            return
+
+        out_col = jax.lax.broadcasted_iota(jnp.int32, (TQ, k), 1)
+
+        def final(j, c):
+            cand_key, okey = c
+            m = jnp.min(cand_key, axis=1)
+            okey = jnp.where(out_col == j, m[:, None], okey)
+            cand_key = jnp.where(cand_key == m[:, None],
+                                 jnp.int32(_IMAX), cand_key)
+            return (cand_key, okey)
+
+        _, okey = jax.lax.fori_loop(
+            0, k, final, (cand_key, jnp.full((TQ, k), _IMAX, jnp.int32)))
+        od, oi = decode(okey)
+        out_d_ref[...] = od
+        out_i_ref[...] = oi
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _knn_banded_tpu(queries, qmask, db, dbmask, k: int,
+                    interpret: bool = False):
+    """Banded kNN over MORTON-SORTED inputs (see knn_banded)."""
+    m, feat = queries.shape
+    n = db.shape[0]
+    assert n <= MAX_DB, f"db too large for packed-key kNN ({n} > {MAX_DB})"
+    td, n_padded = _choose_td(n, k)
+    m_pad = (-m) % TQ
+    q = jnp.pad(queries, ((0, m_pad), (0, 0)))
+    qv = jnp.pad(qmask.astype(jnp.float32), (0, m_pad))[None, :]
+    dbp = jnp.pad(db, ((0, n_padded - n), (0, 0)))
+    dpen = jnp.pad(jnp.where(dbmask, 0.0, _BIG), (0, n_padded - n),
+                   constant_values=_BIG)
+    mp, np_ = q.shape[0], dbp.shape[0]
+    bbox = _tile_bboxes(db, dbmask, n_padded, td)
+
+    qT = q.T
+    qq = jnp.sum(q * q, axis=-1)[None, :]
+    dbT = dbp.T
+    dd = (jnp.sum(dbp * dbp, axis=-1) + dpen)[None, :]
+
+    grid = (mp // TQ,)
+    out_d, out_i = pl.pallas_call(
+        _knn_kernel_banded(k, np_, feat, td),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((feat, TQ), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TQ), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TQ), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((feat, np_), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, np_ // td), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TQ, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TQ, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, k), jnp.float32),
+            jax.ShapeDtypeStruct((mp, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qT, qq, qv, dbT, dd, bbox)
+
+    out_d = out_d[:m]
+    out_i = out_i[:m]
+    valid = (out_d < 1e37) & qmask[:, None] & (out_i < n)
+    out_d = jnp.where(valid, jnp.maximum(out_d, 0.0), jnp.inf)
+    return out_d, jnp.where(valid, out_i, -1), valid
+
+
+def knn_banded(queries, qmask, db, dbmask, k: int):
+    """kNN with bbox tile pruning. CALLER CONTRACT: both clouds should be
+    morton-sorted (morton_order) for the pruning to bite — results are
+    correct for any order, just unpruned-slow when blocks/tiles are not
+    spatially compact. Tie-breaks follow the given (sorted) db order.
+    Falls back to the XLA brute path off-TPU or beyond MAX_DB."""
+    if on_tpu() and db.shape[0] <= MAX_DB:
+        return _knn_banded_tpu(queries, qmask, db, dbmask, k)
+    return knn_xla.brute_knn(queries, qmask, db, dbmask, k=k)
+
+
+def nn_banded(queries, qmask, db, dbmask):
+    d2, idx, valid = knn_banded(queries, qmask, db, dbmask, 1)
+    return d2[:, 0], idx[:, 0], valid[:, 0]
+
+
 def knn_pallas(queries, qmask, db, dbmask, k: int):
     """kNN with the Pallas kernel on TPU, XLA fallback elsewhere — and for
     databases beyond the packed-key index budget (MAX_DB)."""

@@ -50,6 +50,7 @@ class SurfelMap(NamedTuple):
     occupied: jax.Array    # (T,) bool
     mom: jax.Array         # (T, 10) packed center-relative moments
     plane: jax.Array       # (T, 6) packed cached plane + flags
+    nbr: jax.Array         # (T, 6) i32 face-neighbor slot hints (-1 = none)
     res: float             # static voxel edge
 
     @property
@@ -95,6 +96,17 @@ _HALO_D_TOL = 0.02
 # steady-state claim batch: scans claim at most this many new voxels via
 # the compacted path; more claimable points (cold start) use the full batch
 _CLAIM_CAP = 4096
+
+# winner-row compaction cap for the nbr-hint maintenance fan (steady-state
+# frontiers are a few hundred rows; cold starts fall back to the full batch)
+_NBR_MAINT_CAP = 1024
+
+# face-neighbor offsets, order [+x -x +y -y +z -z]. Opposite face = f ^ 1.
+# This order is shared by the nbr hint table, the halo fan, and
+# _hood_offsets(7)[1:] — the nbr-cache lookups rely on it.
+_FACE = jnp.asarray(
+    [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1],
+     [0, 0, -1]], jnp.int32)
 
 
 def _compact(key: jax.Array, cap: int, *arrays: jax.Array):
@@ -144,6 +156,7 @@ def empty(res: float, table_size: int) -> SurfelMap:
         occupied=jnp.zeros((table_size,), bool),
         mom=jnp.zeros((table_size, 10), jnp.float32),
         plane=jnp.zeros((table_size, 6), jnp.float32),
+        nbr=jnp.full((table_size, 6), -1, jnp.int32),
         res=res,
     )
 
@@ -169,6 +182,72 @@ def _locate(m: SurfelMap, coords: jax.Array):
     return jnp.where(found, slot, 0), found
 
 
+def _nbr_lookup(m: SurfelMap, slots: jax.Array, coords_s: jax.Array):
+    """Face-neighbor slots of the voxels at `slots` (whose coords are
+    `coords_s`) via the (T, 6) hint table — ONE verified gather instead of
+    NUM_PROBES probed ones per neighbor. Hits are verified (occupied +
+    coords match), so a stale hint can never return a wrong slot; the
+    claim-time maintenance (_claim_maintain_nbr) keeps the invariant that
+    face-adjacent PRESENT voxels always point at each other, so a verified
+    miss really means the neighbor is absent (bit-equal to _locate).
+    Returns (nslot (..., 6), nfound (..., 6))."""
+    t = m.table_size
+    ns = m.nbr[slots]                                     # (..., 6)
+    nsc = jnp.clip(ns, 0, t - 1)
+    expect = coords_s[..., None, :] + _FACE
+    ok = (ns >= 0) & m.occupied[nsc] & jnp.all(
+        m.coords[nsc] == expect, axis=-1)
+    return jnp.where(ok, nsc, 0), ok
+
+
+def _claim_maintain_nbr(m_post: SurfelMap, bcoords: jax.Array,
+                        point_slot: jax.Array) -> jax.Array:
+    """Restore the face-neighbor invariant after a claim batch: every row
+    with point_slot >= 0 just won a previously-empty slot (one unique
+    winner per slot). Locate its 6 face neighbors on the POST-claim map
+    (so batch siblings resolve), then write both directions:
+      nbr[winner, f]        = neighbor slot (or -1 — fresh hint row)
+      nbr[neighbor, f ^ 1]  = winner slot
+    Back-pointer cells are unique per (slot, face) — two distinct new
+    voxels can never claim the same face of the same neighbor — and the
+    one possible overlap (two adjacent winners writing each other) writes
+    identical values, so scatter order cannot matter. Eviction leaves
+    hints stale-but-verifiable: occupied=False fails _nbr_lookup's check,
+    and a re-claim of the slot rewrites its hint row here."""
+    t = m_post.table_size
+
+    def maintain(bcoords, point_slot):
+        won = point_slot >= 0
+        wslot = jnp.where(won, point_slot, t)             # t -> dropped
+        ncoords = bcoords[:, None, :] + _FACE[None]       # (B, 6, 3)
+        nslot, nfound = _locate(m_post, ncoords)          # (B, 6)
+        eff = won[:, None] & nfound
+        fwd = jnp.where(eff, nslot, -1)
+        nbr = m_post.nbr.at[wslot].set(fwd, mode="drop")
+        bslot = jnp.where(eff, nslot, t)
+        opp = jnp.broadcast_to(
+            jnp.arange(6, dtype=jnp.int32)[None, :] ^ 1, bslot.shape)
+        back = jnp.broadcast_to(wslot[:, None], bslot.shape)
+        return nbr.at[bslot, opp].set(back, mode="drop")
+
+    # the claim batch is a STATIC-shaped compaction (e.g. 4096 rows) but
+    # actual winners are the steady-state frontier (~hundreds): compact
+    # the maintenance fan to the winner rows or the whole cost saved by
+    # the hint lookups is spent right back on the maintenance locate
+    b = bcoords.shape[0]
+    if _NBR_MAINT_CAP < b:
+        won = point_slot >= 0
+
+        def compactm(_):
+            midx = _compact_idx(jnp.logical_not(won), _NBR_MAINT_CAP)
+            return maintain(bcoords[midx], point_slot[midx])
+
+        return jax.lax.cond(
+            jnp.sum(won) <= _NBR_MAINT_CAP, compactm,
+            lambda _: maintain(bcoords, point_slot), None)
+    return maintain(bcoords, point_slot)
+
+
 def _neighbor_offsets():
     import numpy as _np
 
@@ -187,9 +266,8 @@ def _hood_offsets(window: int):
     if window == 27:
         return _neighbor_offsets()
     assert window == 7
-    return jnp.asarray(
-        [[0, 0, 0], [1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
-         [0, 0, 1], [0, 0, -1]], jnp.int32)
+    return jnp.concatenate(
+        [jnp.zeros((1, 3), jnp.int32), _FACE], axis=0)
 
 
 def _plane_from(cnt, psum, m2_sym, center):
@@ -288,8 +366,17 @@ def _refit_planes(m: SurfelMap, slots: jax.Array, slot_valid: jax.Array,
     offs = _hood_offsets(hood_window)
 
     def do_hood(plane):
-        ncoords = coords[:, None, :] + offs[None]         # (H, W, 3)
-        nslot, nfound = _locate(m, ncoords)
+        if hood_window == 7:
+            # face hood = self + the 6 hinted neighbors: one verified
+            # gather replaces the (H, 7, P) probe cascade. Self is its own
+            # slot by construction (h_slots are located/claimed rows).
+            ns6, ok6 = _nbr_lookup(m, h_slots, coords)
+            nslot = jnp.concatenate([h_slots[:, None], ns6], axis=1)
+            nfound = jnp.concatenate(
+                [m.occupied[h_slots][:, None], ok6], axis=1)
+        else:
+            ncoords = coords[:, None, :] + offs[None]     # (H, W, 3)
+            nslot, nfound = _locate(m, ncoords)
         w = (nfound & h_valid[:, None]).astype(jnp.float32)
         # neighbor moments are relative to THEIR center; shift to the
         # central voxel's center (delta = offset * res, exact in f32)
@@ -363,12 +450,13 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
 
         def claim_with(bcoords, bmask):
             w0 = jnp.full((t + 1,), _INT_MAX, jnp.int32)
-            occ1, winner, _ = _scatter_rounds(occ0, w0, bcoords, bmask, t)
+            occ1, winner, pslot = _scatter_rounds(
+                occ0, w0, bcoords, bmask, t)
             winner = winner[:t]
             newly = winner != _INT_MAX
             widx = jnp.where(newly, winner, 0)
             new_coords = jnp.where(newly[:, None], bcoords[widx], m.coords)
-            return new_coords, occ1
+            return new_coords, occ1, pslot
 
         def compact(_):
             # relocate ONLY the compacted rows afterwards: claims fill
@@ -378,19 +466,21 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
             ridx = _compact_idx(jnp.logical_not(claimable), claim_cap)
             bcoords = coords[ridx]
             bmask = claimable[ridx]
-            new_coords, occ1 = claim_with(bcoords, bmask)
+            new_coords, occ1, pslot = claim_with(bcoords, bmask)
             m1 = m._replace(coords=new_coords, occupied=occ1)
+            nbr1 = _claim_maintain_nbr(m1, bcoords, pslot)
             bslot, bfound = _locate(m1, bcoords)
             slot2 = slot.at[ridx].set(jnp.where(bmask, bslot, slot[ridx]))
             found2 = found.at[ridx].set(bfound | found[ridx])
-            return new_coords, occ1, slot2, found2
+            return new_coords, occ1, nbr1, slot2, found2
 
         def full(_):
-            new_coords, occ1 = claim_with(coords, claimable)
+            new_coords, occ1, pslot = claim_with(coords, claimable)
             m1 = m._replace(coords=new_coords, occupied=occ1)
+            nbr1 = _claim_maintain_nbr(m1, coords, pslot)
             # points that landed in a claimed-new slot get that slot
             slot2, found2 = _locate(m1, coords)
-            return new_coords, occ1, slot2, found2
+            return new_coords, occ1, nbr1, slot2, found2
 
         if claim_cap < n_pts0:
             return jax.lax.cond(
@@ -398,11 +488,11 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
         return full(None)
 
     def skip_claim(_):
-        return m.coords, m.occupied, slot, found
+        return m.coords, m.occupied, m.nbr, slot, found
 
-    new_coords, occupied, slot2, found2 = jax.lax.cond(
+    new_coords, occupied, nbr, slot2, found2 = jax.lax.cond(
         need_claim, do_claim, skip_claim, None)
-    m = m._replace(coords=new_coords, occupied=occupied)
+    m = m._replace(coords=new_coords, occupied=occupied, nbr=nbr)
     use = mask & found2
     sidx = jnp.where(use, slot2, t)  # dump row
 
@@ -435,9 +525,6 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
     # never sees the residuals that would pull the estimate back (measured
     # 2x worse drift). Halo planes cost zero extra gathers at query time
     # and are overwritten by real fits once points arrive.
-    face = jnp.asarray(
-        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1],
-         [0, 0, -1]], jnp.int32)
     n_pts = points.shape[0]
     # halo sources = the FRONTIER (voxels receiving their first points —
     # cnt_before==0 covers newly-claimed slots AND halo-only slots
@@ -477,10 +564,17 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
         m = m._replace(plane=m.plane.at[
             jnp.where(src_plane_ok, src_clip, t)
         ].set(cleared, mode="drop"))
-        hcoords = (h_src_coords[:, None, :] + face[None]).reshape(
+        hcoords = (h_src_coords[:, None, :] + _FACE[None]).reshape(
             halo_cap * 6, 3)
         hmask = jnp.repeat(src_plane_ok, 6)
-        hslot0, hfound = _locate(m, hcoords)
+        # fan targets ARE the sources' face neighbors: the hint table
+        # answers the (6H,) locate with one verified gather. Masked-off
+        # rows (src_plane_ok False) may disagree with a probe locate, but
+        # every consumer of hslot/hfound is hmask-gated, so outputs are
+        # unchanged.
+        ns6, ok6 = _nbr_lookup(m, src_clip, h_src_coords)
+        hslot0 = ns6.reshape(halo_cap * 6)
+        hfound = ok6.reshape(halo_cap * 6)
         # rows whose target slot is unmapped — only these bid for slots.
         # In steady state most halo targets already exist (dirty-plane
         # re-propagation overwrites existing halo slots), so the claim
@@ -492,39 +586,41 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
 
         def hclaim(bcoords, bmask):
             winner0 = jnp.full((t + 1,), _INT_MAX, jnp.int32)
-            occupied2, hwinner, _ = _scatter_rounds(
+            occupied2, hwinner, pslot = _scatter_rounds(
                 m.occupied, winner0, bcoords, bmask, t)
             hwinner = hwinner[:t]
             hnew = hwinner != _INT_MAX
             hidx = jnp.where(hnew, hwinner, 0)
             coords2 = jnp.where(hnew[:, None], bcoords[hidx], m.coords)
-            return coords2, occupied2
+            return coords2, occupied2, pslot
 
         def hclaim_compact(_):
             cidx = _compact_idx(jnp.logical_not(need), _CLAIM_CAP)
             bcoords = hcoords[cidx]
             bmask = need[cidx]
-            coords2, occupied2 = hclaim(bcoords, bmask)
+            coords2, occupied2, pslot = hclaim(bcoords, bmask)
             m2 = m._replace(coords=coords2, occupied=occupied2)
+            nbr2 = _claim_maintain_nbr(m2, bcoords, pslot)
             bslot, bfound = _locate(m2, bcoords)
             hslot = hslot0.at[cidx].set(
                 jnp.where(bmask, bslot, hslot0[cidx]))
             hfound2 = hfound.at[cidx].set(bfound | hfound[cidx])
-            return coords2, occupied2, hslot, hfound2
+            return coords2, occupied2, nbr2, hslot, hfound2
 
         def hclaim_full(_):
-            coords2, occupied2 = hclaim(hcoords, need)
+            coords2, occupied2, pslot = hclaim(hcoords, need)
             m2 = m._replace(coords=coords2, occupied=occupied2)
+            nbr2 = _claim_maintain_nbr(m2, hcoords, pslot)
             hslot, hfound2 = _locate(m2, hcoords)
-            return coords2, occupied2, hslot, hfound2
+            return coords2, occupied2, nbr2, hslot, hfound2
 
         if _CLAIM_CAP < hcoords.shape[0]:
-            coords2, occupied2, hslot, hfound2 = jax.lax.cond(
+            coords2, occupied2, nbr2, hslot, hfound2 = jax.lax.cond(
                 jnp.sum(need) <= _CLAIM_CAP, hclaim_compact, hclaim_full,
                 None)
         else:
-            coords2, occupied2, hslot, hfound2 = hclaim_full(None)
-        m = m._replace(coords=coords2, occupied=occupied2)
+            coords2, occupied2, nbr2, hslot, hfound2 = hclaim_full(None)
+        m = m._replace(coords=coords2, occupied=occupied2, nbr=nbr2)
         # write source planes into halo slots that hold no real points.
         # Multiple sources can target the same halo slot; a plain
         # duplicate-index scatter-set picks a platform-dependent winner

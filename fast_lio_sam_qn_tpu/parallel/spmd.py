@@ -115,7 +115,7 @@ def batched_gicp_align(
     def one(src, smask, dst, dmask, T0):
         res = gicp.align(src, smask, dst, dmask, init_T=T0,
                          max_iter=max_iter, max_corr_dist=max_corr_dist,
-                         cov_backend="brute")
+                         cov_backend="brute", banded=False)
         return res.transform, res.fitness, res.converged
 
     sharding = NamedSharding(mesh, P(axis))

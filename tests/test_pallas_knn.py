@@ -46,6 +46,72 @@ def test_interpret_matches_xla(m, n, k):
     assert float(jnp.max(gap)) < 2e-3
 
 
+@pytest.mark.parametrize("m,n,k", CASES)
+def test_banded_matches_unpruned(m, n, k):
+    """The bbox-pruned kernel must return EXACTLY the unpruned kernel's
+    result on the same morton-sorted inputs (the _PRUNE_SLACK margin keeps
+    quantized-key ties unpruned — _knn_kernel_banded docstring)."""
+    rng = np.random.default_rng(3)
+    # clustered clouds so the prune actually bites (uniform would too,
+    # but clusters also exercise empty/partial tiles)
+    centers = rng.normal(size=(8, 3)).astype(np.float32) * 20
+    q = jnp.asarray((centers[rng.integers(0, 8, m)]
+                     + rng.normal(size=(m, 3)) * 2).astype(np.float32))
+    db = jnp.asarray((centers[rng.integers(0, 8, n)]
+                      + rng.normal(size=(n, 3)) * 2).astype(np.float32))
+    qm = jnp.asarray(rng.random(m) > 0.3)
+    dm = jnp.asarray(rng.random(n) > 0.3)
+    qo = pallas_knn.morton_order(q, qm)
+    do = pallas_knn.morton_order(db, dm)
+    q, qm, db, dm = q[qo], qm[qo], db[do], dm[do]
+    d_b, i_b, v_b = pallas_knn._knn_banded_tpu(q, qm, db, dm, k,
+                                               interpret=True)
+    d_p, i_p, v_p = pallas_knn._knn_pallas_tpu(q, qm, db, dm, k,
+                                               interpret=True)
+    assert bool(jnp.all(v_b == v_p))
+    assert bool(jnp.all(jnp.where(v_b, d_b == d_p, True)))
+    assert bool(jnp.all(jnp.where(v_b, i_b == i_p, True)))
+
+
+def test_banded_under_vmap():
+    """The batched loop-closure path vmaps the whole registration, so the
+    banded kernel (SMEM bbox operand included) must batch correctly."""
+    rng = np.random.default_rng(5)
+    B, m, n = 3, 300, 700
+    q = jnp.asarray(rng.normal(size=(B, m, 3)).astype(np.float32) * 5)
+    db = jnp.asarray(rng.normal(size=(B, n, 3)).astype(np.float32) * 5)
+    qm = jnp.asarray(rng.random((B, m)) > 0.3)
+    dm = jnp.asarray(rng.random((B, n)) > 0.3)
+    import jax
+    d_b, i_b, v_b = jax.vmap(
+        lambda a, b, c, d: pallas_knn._knn_banded_tpu(
+            a, b, c, d, 1, interpret=True))(q, qm, db, dm)
+    d_x, i_x, v_x = jax.vmap(
+        lambda a, b, c, d: knn_xla.brute_knn(a, b, c, d, k=1))(q, qm, db, dm)
+    assert bool(jnp.all(v_b == v_x))
+    rel = jnp.where(v_b, jnp.abs(d_b - d_x) / jnp.maximum(d_x, 1e-6), 0.0)
+    assert float(jnp.max(rel)) < 2e-3
+
+
+def test_banded_all_queries_masked_block():
+    """A fully-masked query block has an infinite bbox; every tile is
+    pruned and the rows must come back invalid (not garbage)."""
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+    db = jnp.asarray(rng.normal(size=(512, 3)).astype(np.float32))
+    d, i, v = pallas_knn._knn_banded_tpu(
+        q, jnp.zeros(64, bool), db, jnp.ones(512, bool), 1, interpret=True)
+    assert not bool(jnp.any(v))
+
+
+def test_banded_all_db_masked():
+    q = jnp.zeros((32, 3), jnp.float32)
+    db = jnp.ones((128, 3), jnp.float32)
+    d, i, v = pallas_knn._knn_banded_tpu(
+        q, jnp.ones(32, bool), db, jnp.zeros(128, bool), 4, interpret=True)
+    assert not bool(jnp.any(v))
+
+
 def test_all_db_masked():
     q = jnp.zeros((32, 3), jnp.float32)
     db = jnp.ones((128, 3), jnp.float32)

@@ -63,6 +63,35 @@ def test_evict_beyond():
     assert int(m.occupied.sum()) == 1
 
 
+def test_nbr_hint_invariant():
+    """The face-neighbor hint table must agree with a full probe locate for
+    EVERY occupied voxel after inserts (all claim tiers), halo claims, and
+    eviction + slot-reuse churn — the hood refit and halo fan's
+    bit-exactness rests on this invariant (_nbr_lookup docstring)."""
+    rng = np.random.default_rng(7)
+    m = surfel_map.empty(res=0.5, table_size=1 << 13)
+    th = jnp.float32(0.12)
+    for step in range(6):
+        pts = rng.uniform(-10 - step, 10, (3000, 3)).astype(np.float32)
+        pts[:, 2] = 0.1 * np.sin(pts[:, 0]) + 0.01 * pts[:, 2]
+        mask = rng.uniform(size=3000) > 0.05
+        m = surfel_map.insert(m, jnp.asarray(pts), jnp.asarray(mask), th,
+                              hood_cap=512, halo=True, halo_cap=1024,
+                              hood_window=7)
+        if step == 3:  # evict, then keep inserting so slots are reused
+            m = surfel_map.evict_beyond(
+                m, jnp.asarray([3.0, 3.0, 0.0]), jnp.float32(8.0))
+    occ = np.asarray(m.occupied)
+    slots = jnp.asarray(np.nonzero(occ)[0], jnp.int32)
+    coords = m.coords[slots]
+    ns, ok = surfel_map._nbr_lookup(m, slots, coords)
+    ref_slot, ref_found = surfel_map._locate(
+        m, coords[:, None, :] + surfel_map._FACE[None])
+    assert np.array_equal(np.asarray(ok), np.asarray(ref_found))
+    assert np.array_equal(np.asarray(ns)[np.asarray(ok)],
+                          np.asarray(ref_slot)[np.asarray(ref_found)])
+
+
 def test_lio_surfel_backend_low_drift():
     """Full LIO with the surfel map on the simulated loop (the quality bar
     set by the point-grid backend: <0.15 m final drift)."""
