@@ -115,11 +115,13 @@ def stage_budget(points, mask, stage: str, radius: float):
                 hbm_mb=hbm / 1e6, bound_ms=bound_ms)
 
 
-def gicp_nn_budget(n_src, n_dst, iters: int = 4):
+def gicp_nn_budget(n_src, n_dst, iters: int = 4, keep: float = 1.0):
     """Per-iteration GICP correspondence NN: src x dst d2 cross terms with
-    packed-key min extraction, NO tile pruning yet (the queued
-    morton-banding lever).  bf16-pass d2 + ~12 VPU ops per pair."""
-    pairs = n_src * n_dst * iters
+    packed-key min extraction.  bf16-pass d2 + ~12 VPU ops per pair.
+    `keep` scales for the banded kernel's surviving pair-block fraction
+    (pallas_knn.knn_banded, the round-3 morton-banding — measured ~45%
+    device-time cut at 32 iterations on the bench clouds)."""
+    pairs = n_src * n_dst * iters * keep
     mxu = pairs * (2 * 3 * 6)
     vpu = pairs * 12
     bound_ms = max(mxu / MXU_BF16, vpu / VPU_F32) * 1e3
@@ -214,7 +216,47 @@ def report(measure: bool | None = None):
     print("db arrays are VMEM-resident across the grid -> HBM-bound "
           "nowhere; the binding resource is VPU time on surviving SPFH "
           "pair blocks")
+    insert_budget()
     return rows
+
+
+def insert_budget(n_pts: int = 32768, hood_cap: int = 8192,
+                  claim_cap: int = 4096, maint_cap: int = 1024):
+    """Work census of the steady-state surfel-map insert (hood7 tiers,
+    ops/surfel_map.py) — the LIO step's dominant stage.
+
+    The insert is NOT flop- or bandwidth-bound: it is bound by the ISSUE
+    RATE of table-scale gather/scatter ops (measured ~0.5-1.5 ms per
+    32k-row gather/scatter on v5e regardless of row width — the packed
+    layouts exist precisely to minimize the op COUNT, see the module
+    docstring of ops/surfel_map.py).  This census lists each tier's ops
+    and bytes so the gap between the ~us-scale HBM bound and the ~ms-scale
+    measured time is attributed explicitly: random-index scatter/gather
+    serialization, not bandwidth."""
+    # (rows, elems/row, bytes/elem, n_ops) per stage — hand-derived from
+    # ops/surfel_map.py insert() steady-state compact tiers (claims fit
+    # _CLAIM_CAP, hood fits hood_cap, winners fit _NBR_MAINT_CAP)
+    stages = [
+        ("locate 32k (4-probe)", n_pts * 4, 4 * 4, 2),   # coords+occ
+        ("claim sort+rounds", claim_cap * 4, 4 * 4, 6),  # 4 scatter-min
+        ("claim relocate+maint", (claim_cap + maint_cap * 6) * 4, 16, 4),
+        ("moment scatter-add", n_pts, 40, 2),            # cnt gather + add
+        ("refit own fit", n_pts, 64, 3),                 # mom+plane g, p s
+        ("refit hood7 (nbr)", hood_cap * 7, 52, 5),      # nbr/coord/mom...
+        ("halo fan (nbr)", 0, 0, 0),                     # skipped converged
+    ]
+    tot_bytes = sum(r * b for _, r, b, _ in stages)
+    tot_ops = sum(o for *_, o in stages)
+    print(f"\nsurfel insert census (steady-state hood7, {n_pts} pts):")
+    for name, rows_, bytes_, ops in stages:
+        mb = rows_ * bytes_ / 1e6
+        print(f"  {name:<24}{ops:>3} table ops{mb:>8.2f} MB")
+    hbm_ms = 2 * tot_bytes / HBM_BPS * 1e3  # read+write generously
+    print(f"  total {tot_ops} table-scale ops, {tot_bytes / 1e6:.1f} MB "
+          f"-> HBM bound {hbm_ms:.3f} ms; measured ~21 ms steady-state "
+          f"=> ~{21 / max(tot_ops, 1):.1f} ms/op issue cost dominates")
+    print("  (reduce op COUNT, not width: packed tables, compacted tiers, "
+          "nbr hints are all op-count levers)")
 
 
 if __name__ == "__main__":
