@@ -47,20 +47,13 @@ FPFH_DIM = 33
 _NBINS = 11
 _BIG = 3.4e38
 TQ = 128      # query rows per grid step (TQxTD f32 temporaries in VMEM)
-TD = 512      # db columns per inner tile (sized for bbox tile pruning)
+TD = 512      # default db columns per inner tile (see fpfh_radius's td)
 PLANE_EPS = 1e-3  # gicp.PLANE_EPS (kept local to avoid an import cycle)
-def _tile_bboxes(points_sorted, valid_sorted, n_pad):
+def _tile_bboxes(points_sorted, valid_sorted, n_pad, td):
     """(8, n_tiles) per-db-tile bounds [minx miny minz maxx maxy maxz 0 0],
-    masked points excluded (+-inf neutral)."""
-    n = points_sorted.shape[0]
-    p = jnp.pad(points_sorted, ((0, n_pad - n), (0, 0)))
-    v = jnp.pad(valid_sorted, (0, n_pad - n))[:, None]
-    pt = p.reshape(-1, TD, 3)
-    vt = v.reshape(-1, TD, 1)
-    mins = jnp.min(jnp.where(vt, pt, jnp.inf), axis=1)    # (n_tiles, 3)
-    maxs = jnp.max(jnp.where(vt, pt, -jnp.inf), axis=1)
-    pad = jnp.zeros_like(mins[:, :1])
-    return jnp.concatenate([mins, maxs, pad, pad[:, :1]], axis=1).T
+    masked points excluded (+-inf neutral). Shared with the banded kNN."""
+    from .pallas_knn import _tile_bboxes as shared
+    return shared(points_sorted, valid_sorted, n_pad, td)
 
 
 def _block_bbox(qT, qv):
@@ -303,9 +296,9 @@ def _fpfh_agg_kernel(n_db: int, td: int, r2: float):
 # host-side drivers
 # ---------------------------------------------------------------------------
 
-def _pad_db(points, penalty):
+def _pad_db(points, penalty, td):
     n = points.shape[0]
-    n_pad = -(-n // TD) * TD
+    n_pad = -(-n // td) * td
     dbT = jnp.pad(points, ((0, n_pad - n), (0, 0))).T          # (3, Np)
     dd = jnp.pad(jnp.sum(points * points, -1) + penalty,
                  (0, n_pad - n), constant_values=_BIG)[None, :]
@@ -325,8 +318,8 @@ def _dbspec(rows, n_pad):
                         memory_space=pltpu.VMEM)
 
 
-def _bbox_spec(n_pad):
-    return pl.BlockSpec((8, n_pad // TD), lambda i: (0, 0),
+def _bbox_spec(n_pad, td):
+    return pl.BlockSpec((8, n_pad // td), lambda i: (0, 0),
                         memory_space=pltpu.SMEM)
 
 
@@ -336,19 +329,19 @@ def _qv_row(mask, m_pad):
 
 
 def _moments_tpu(points, mask, radius: float, cov_radius: float,
-                 interpret: bool = False):
+                 interpret: bool = False, td: int = TD):
     m = points.shape[0]
     penalty = jnp.where(mask, 0.0, _BIG)
-    dbT, dd, n_pad = _pad_db(points, penalty)
-    bbox = _tile_bboxes(points, mask, n_pad)
+    dbT, dd, n_pad = _pad_db(points, penalty, td)
+    bbox = _tile_bboxes(points, mask, n_pad, td)
     m_pad = -(-m // TQ) * TQ
     q = _pad_q(points, m_pad)
     out = pl.pallas_call(
-        _moments_kernel(n_pad, TD, radius * radius,
+        _moments_kernel(n_pad, td, radius * radius,
                         cov_radius * cov_radius),
         grid=(m_pad // TQ,),
         in_specs=[_QSPEC3, _QSPEC1, _QSPEC1, _dbspec(3, n_pad),
-                  _dbspec(1, n_pad), _bbox_spec(n_pad)],
+                  _dbspec(1, n_pad), _bbox_spec(n_pad, td)],
         out_specs=pl.BlockSpec((TQ, 20), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, 20), jnp.float32),
@@ -445,22 +438,22 @@ def moments_to_normals_covs(mom, points, mask, viewpoint):
 
 
 def _spfh_tpu(points, mask, normals, n_valid, radius: float,
-              interpret: bool = False):
+              interpret: bool = False, td: int = TD):
     m = points.shape[0]
     penalty = jnp.where(mask & n_valid, 0.0, _BIG)
-    dbT, dd, n_pad = _pad_db(points, penalty)
+    dbT, dd, n_pad = _pad_db(points, penalty, td)
     dbnT = jnp.pad(normals, ((0, n_pad - m), (0, 0))).T
     m_pad = -(-m // TQ) * TQ
     q = _pad_q(points, m_pad)
     qn = _pad_q(normals, m_pad)
     qidx = jnp.arange(m_pad, dtype=jnp.int32)[None, :]
-    bbox = _tile_bboxes(points, mask & n_valid, n_pad)
+    bbox = _tile_bboxes(points, mask & n_valid, n_pad, td)
     out = pl.pallas_call(
-        _spfh_kernel(n_pad, TD, radius * radius),
+        _spfh_kernel(n_pad, td, radius * radius),
         grid=(m_pad // TQ,),
         in_specs=[_QSPEC3, _QSPEC1, _QSPEC1, _QSPEC1, _QSPEC3,
                   _dbspec(3, n_pad), _dbspec(3, n_pad), _dbspec(1, n_pad),
-                  _bbox_spec(n_pad)],
+                  _bbox_spec(n_pad, td)],
         out_specs=pl.BlockSpec((TQ, FPFH_DIM + 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, FPFH_DIM + 1), jnp.float32),
@@ -498,21 +491,21 @@ def _spfh_xla(points, mask, normals, n_valid, radius: float):
 
 
 def _fpfh_agg_tpu(points, mask, n_valid, spfh, radius: float,
-                  interpret: bool = False):
+                  interpret: bool = False, td: int = TD):
     m = points.shape[0]
     penalty = jnp.where(mask & n_valid, 0.0, _BIG)
-    dbT, dd, n_pad = _pad_db(points, penalty)
+    dbT, dd, n_pad = _pad_db(points, penalty, td)
     spfhT = jnp.pad(spfh, ((0, n_pad - m), (0, 0))).T    # (33, Np)
     m_pad = -(-m // TQ) * TQ
     q = _pad_q(points, m_pad)
     qidx = jnp.arange(m_pad, dtype=jnp.int32)[None, :]
-    bbox = _tile_bboxes(points, mask & n_valid, n_pad)
+    bbox = _tile_bboxes(points, mask & n_valid, n_pad, td)
     out = pl.pallas_call(
-        _fpfh_agg_kernel(n_pad, TD, radius * radius),
+        _fpfh_agg_kernel(n_pad, td, radius * radius),
         grid=(m_pad // TQ,),
         in_specs=[_QSPEC3, _QSPEC1, _QSPEC1, _QSPEC1, _dbspec(3, n_pad),
                   _dbspec(1, n_pad), _dbspec(FPFH_DIM, n_pad),
-                  _bbox_spec(n_pad)],
+                  _bbox_spec(n_pad, td)],
         out_specs=pl.BlockSpec((TQ, FPFH_DIM + 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, FPFH_DIM + 1), jnp.float32),
@@ -553,9 +546,9 @@ def on_tpu() -> bool:
 
 @functools.partial(jax.jit, static_argnames=("normal_radius",
                                              "feature_radius", "cov_radius",
-                                             "use_tpu"))
+                                             "use_tpu", "td"))
 def _fpfh_radius_impl(points, mask, normal_radius, feature_radius,
-                      cov_radius, viewpoint, use_tpu: bool):
+                      cov_radius, viewpoint, use_tpu: bool, td: int = TD):
     order = None
     if use_tpu:
         # spatial-locality sort: makes query blocks AND db tiles compact
@@ -564,16 +557,16 @@ def _fpfh_radius_impl(points, mask, normal_radius, feature_radius,
         order = _morton_order(points, mask)
         points = points[order]
         mask = mask[order]
-    mom = (_moments_tpu if use_tpu else _moments_xla)(
-        points, mask, normal_radius, cov_radius)
+    mom = (functools.partial(_moments_tpu, td=td) if use_tpu
+           else _moments_xla)(points, mask, normal_radius, cov_radius)
     normals, n_valid, cov_reg, _ = moments_to_normals_covs(
         mom, points, mask, viewpoint)
-    raw = (_spfh_tpu if use_tpu else _spfh_xla)(
+    raw = (functools.partial(_spfh_tpu, td=td) if use_tpu else _spfh_xla)(
         points, mask, normals, n_valid, feature_radius)
     cnt = raw[:, FPFH_DIM]
     spfh = raw[:, :FPFH_DIM] / jnp.maximum(cnt, 1.0)[:, None]
-    agg = (_fpfh_agg_tpu if use_tpu else _fpfh_agg_xla)(
-        points, mask, n_valid, spfh, feature_radius)
+    agg = (functools.partial(_fpfh_agg_tpu, td=td) if use_tpu
+           else _fpfh_agg_xla)(points, mask, n_valid, spfh, feature_radius)
     cnt_f = agg[:, FPFH_DIM]
     fp = spfh + agg[:, :FPFH_DIM] / jnp.maximum(cnt_f, 1.0)[:, None]
     blocks = []
@@ -593,7 +586,7 @@ def _fpfh_radius_impl(points, mask, normal_radius, feature_radius,
 
 
 def fpfh_radius(points, mask, normal_radius: float, feature_radius: float,
-                viewpoint=None, cov_radius: float = 0.6):
+                viewpoint=None, cov_radius: float = 0.6, td: int = TD):
     """Full radius-FPFH descriptor + the shared surface geometry.
 
     Returns (desc (N, 33), valid (N,), (normals, n_valid, cov_reg)) where
@@ -603,7 +596,9 @@ def fpfh_radius(points, mask, normal_radius: float, feature_radius: float,
     Nano-GICP's k=15 neighborhoods on 0.3 m-voxelized clouds (a
     normal_radius-sized neighborhood over-smooths the planes and opens a
     point-to-plane slide valley in the fine stage).  Radii must be static
-    python floats (one compile per setting)."""
+    python floats (one compile per setting).  `td` is the db tile width
+    (pruning granularity) — pruned tiles cost ~nothing, so finer tiles
+    remove more pair blocks (see tools/roofline.py for the sweep)."""
     return _fpfh_radius_impl(points, mask, float(normal_radius),
                              float(feature_radius), float(cov_radius),
-                             viewpoint, on_tpu())
+                             viewpoint, on_tpu(), td=int(td))

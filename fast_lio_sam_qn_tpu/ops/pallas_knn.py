@@ -272,7 +272,10 @@ def _knn_kernel_banded(k: int, n_db: int, feat: int, td: int):
     cannot hold the NN of any query in the block (nor tie its packed
     quantized key — the slack covers the idx_bits mantissa truncation),
     so skipping them leaves the result exactly equal to the unpruned
-    kernel on the same sorted inputs."""
+    kernel on the same sorted inputs (exact equality additionally needs
+    both kernels' PADDED db sizes to share a bit length, since idx_bits
+    sets the quantization step; true for every shape the product and the
+    tests use, and bench.py asserts it on chip every round)."""
     n_tiles = n_db // td
     kc = n_tiles * k
     idx_bits = max((n_db - 1).bit_length(), 1)
@@ -389,14 +392,18 @@ def _knn_kernel_banded(k: int, n_db: int, feat: int, td: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "td"))
 def _knn_banded_tpu(queries, qmask, db, dbmask, k: int,
-                    interpret: bool = False):
+                    interpret: bool = False, td: int = 512):
     """Banded kNN over MORTON-SORTED inputs (see knn_banded)."""
     m, feat = queries.shape
     n = db.shape[0]
     assert n <= MAX_DB, f"db too large for packed-key kNN ({n} > {MAX_DB})"
-    td, n_padded = _choose_td(n, k)
+    # fine tiles, NOT _choose_td: its cost model minimizes unpruned
+    # extraction work and picks 2048-wide tiles at k=1 (3 tiles for a 6k
+    # db — pruning can then skip almost nothing). Pruned tiles cost ~zero,
+    # so small tiles maximize the fraction the bbox test removes.
+    n_padded = -(-n // td) * td
     m_pad = (-m) % TQ
     q = jnp.pad(queries, ((0, m_pad), (0, 0)))
     qv = jnp.pad(qmask.astype(jnp.float32), (0, m_pad))[None, :]

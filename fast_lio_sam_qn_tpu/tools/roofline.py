@@ -54,7 +54,7 @@ _STAGE_COSTS = {
 }
 
 
-def _block_tile_survivors(points, mask, radius):
+def _block_tile_survivors(points, mask, radius, td=None):
     """(n_blocks, n_tiles) bool: which (query-block, db-tile) pairs survive
     the kernels' bbox prune on the morton-sorted cloud — the exact same
     test _tile_overlaps applies, evaluated host-side."""
@@ -62,17 +62,18 @@ def _block_tile_survivors(points, mask, radius):
 
     from fast_lio_sam_qn_tpu.ops import fpfh_stream as fs
 
+    td = td or fs.TD
     order = np.asarray(fs._morton_order(jnp.asarray(points),
                                         jnp.asarray(mask)))
     p = np.asarray(points)[order]
     v = np.asarray(mask)[order]
     n = p.shape[0]
-    n_pad = -(-n // fs.TD) * fs.TD
+    n_pad = -(-n // td) * td
     m_pad = -(-n // fs.TQ) * fs.TQ
     pp = np.pad(p, ((0, n_pad - n), (0, 0)))
     vv = np.pad(v, (0, n_pad - n))
-    tiles = pp.reshape(-1, fs.TD, 3)
-    tmask = vv.reshape(-1, fs.TD, 1)
+    tiles = pp.reshape(-1, td, 3)
+    tmask = vv.reshape(-1, td, 1)
     t_lo = np.where(tmask, tiles, np.inf).min(axis=1)      # (n_tiles, 3)
     t_hi = np.where(tmask, tiles, -np.inf).max(axis=1)
     qq = np.pad(p, ((0, m_pad - n), (0, 0)))
@@ -89,24 +90,25 @@ def _block_tile_survivors(points, mask, radius):
     return g2 <= radius * radius
 
 
-def stage_budget(points, mask, stage: str, radius: float):
+def stage_budget(points, mask, stage: str, radius: float, td=None):
     """Analytic work budget for one kernel over one cloud (self-join).
 
     Returns dict with pair-block counts, MXU/VPU/HBM totals and the
     roofline lower-bound time in ms."""
     from fast_lio_sam_qn_tpu.ops import fpfh_stream as fs
 
-    surv = _block_tile_survivors(points, mask, radius)
+    td = td or fs.TD
+    surv = _block_tile_survivors(points, mask, radius, td=td)
     n_blocks, n_tiles = surv.shape
     n_surv = int(surv.sum())
-    pairs = n_surv * fs.TQ * fs.TD
+    pairs = n_surv * fs.TQ * td
     c = _STAGE_COSTS[stage]
     mxu = pairs * c["mxu"]
     vpu = pairs * c["vpu"]
     # db rows streamed from HBM once per grid (VMEM-resident after):
     # 3 coords + 1 dd (+3 normals for spfh, +33 spfh cols for agg)
     rows = {"moments": 4, "spfh": 7, "agg": 37}[stage]
-    hbm = (n_tiles * fs.TD * rows + n_blocks * fs.TQ * 8) * 4
+    hbm = (n_tiles * td * rows + n_blocks * fs.TQ * 8) * 4
     bound_ms = max(mxu / MXU_BF16, vpu / VPU_F32, hbm / HBM_BPS) * 1e3
     return dict(stage=stage, blocks=n_blocks, tiles=n_tiles,
                 surviving=n_surv, total=n_blocks * n_tiles,
@@ -129,37 +131,43 @@ def gicp_nn_budget(n_src, n_dst, iters: int = 4, keep: float = 1.0):
                 vpu_gop=vpu / 1e9, bound_ms=bound_ms)
 
 
-def _measure_kernel_ms(stage, points, mask, radius):
+def _measure_kernel_ms(stage, points, mask, radius, td=None):
     """Amortized steady-state time of one kernel on device (TPU only)."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from fast_lio_sam_qn_tpu.ops import fpfh_stream as fs
     from fast_lio_sam_qn_tpu.tools.profile_insert import amortized_ms
 
+    td = td or fs.TD
+    mom_tpu = functools.partial(fs._moments_tpu, td=td)
+    spfh_tpu = functools.partial(fs._spfh_tpu, td=td)
+    agg_tpu = functools.partial(fs._fpfh_agg_tpu, td=td)
     order = fs._morton_order(points, mask)
     ps, ms = points[order], mask[order]
 
     if stage == "moments":
         def fn(c, i):
-            out = fs._moments_tpu(ps + c * 1e-9, ms, 0.9, radius)
+            out = mom_tpu(ps + c * 1e-9, ms, 0.9, radius)
             return jnp.sum(out) * 1e-12 + i * 0.0
     else:
-        mom = fs._moments_tpu(ps, ms, 0.9, 0.6)
+        mom = mom_tpu(ps, ms, 0.9, 0.6)
         normals, n_valid, _, _ = fs.moments_to_normals_covs(
             mom, ps, ms, None)
         if stage == "spfh":
             def fn(c, i):
-                out = fs._spfh_tpu(ps + c * 1e-9, ms, normals, n_valid,
-                                   radius)
+                out = spfh_tpu(ps + c * 1e-9, ms, normals, n_valid,
+                               radius)
                 return jnp.sum(out) * 1e-12 + i * 0.0
         else:
-            raw = fs._spfh_tpu(ps, ms, normals, n_valid, radius)
+            raw = spfh_tpu(ps, ms, normals, n_valid, radius)
             spfh = raw[:, :33] / jnp.maximum(raw[:, 33:], 1.0)
 
             def fn(c, i):
-                out = fs._fpfh_agg_tpu(ps + c * 1e-9, ms, n_valid, spfh,
-                                       radius)
+                out = agg_tpu(ps + c * 1e-9, ms, n_valid, spfh,
+                              radius)
                 return jnp.sum(out) * 1e-12 + i * 0.0
     # sub-ms kernels need long loops: differencing 10 iterations of a
     # ~0.1 ms kernel sits below the tunnel's ms-scale jitter and can even
@@ -167,7 +175,7 @@ def _measure_kernel_ms(stage, points, mask, radius):
     return amortized_ms(fn, jnp.float32(0.0), r1=10, r2=210)
 
 
-def report(measure: bool | None = None):
+def report(measure: bool | None = None, td=None):
     import jax
     import jax.numpy as jnp
 
@@ -176,17 +184,18 @@ def report(measure: bool | None = None):
 
     if measure is None:
         measure = fs.on_tpu()
+    td = td or fs.TD
     (va, vma, _), (vb, vmb, _), _ = bench.build_pair()
     rows = []
     radii = {"moments": 0.9, "spfh": 1.5, "agg": 1.5}
     for cloud, cmask, name in ((va, vma, "src"), (vb, vmb, "dst")):
         for stage in ("moments", "spfh", "agg"):
             b = stage_budget(np.asarray(cloud), np.asarray(cmask), stage,
-                             radii[stage])
+                             radii[stage], td=td)
             b["cloud"] = name
             if measure:
                 b["measured_ms"] = _measure_kernel_ms(
-                    stage, cloud, cmask, radii[stage])
+                    stage, cloud, cmask, radii[stage], td=td)
             rows.append(b)
     print(f"{'stage':<14}{'pairs kept':>12}{'keep%':>7}{'MXU GF':>8}"
           f"{'VPU Gop':>9}{'HBM MB':>8}{'bound ms':>10}"
@@ -260,6 +269,8 @@ def insert_budget(n_pts: int = 32768, hood_cap: int = 8192,
 
 
 if __name__ == "__main__":
+    import sys
+
     import jax
 
     try:
@@ -267,4 +278,14 @@ if __name__ == "__main__":
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    report()
+    # `--td N` runs the tables at one tile width; `--sweep` runs the full
+    # analytic+measured sweep over candidate widths
+    if "--sweep" in sys.argv:
+        for td in (128, 256, 512):
+            print(f"\n=== td = {td} ===")
+            report(td=td)
+    else:
+        td = None
+        if "--td" in sys.argv:
+            td = int(sys.argv[sys.argv.index("--td") + 1])
+        report(td=td)

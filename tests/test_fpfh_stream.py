@@ -36,19 +36,21 @@ def test_moments_match_numpy(cloud):
             mom[i, 4], (q[:, 0] ** 2).sum(), rtol=1e-3, atol=1e-2)
 
 
-def test_interpret_mode_kernel_parity(cloud):
+@pytest.mark.parametrize("td", [128, 512])
+def test_interpret_mode_kernel_parity(cloud, td):
     """Pallas kernels (interpret mode) vs the XLA fallback: identical
-    masked reductions -> near-exact agreement."""
+    masked reductions -> near-exact agreement, at every db tile width the
+    td knob exposes."""
     p, m = cloud
-    momT = fs._moments_tpu(p, m, 0.9, 0.6, interpret=True)
+    momT = fs._moments_tpu(p, m, 0.9, 0.6, interpret=True, td=td)
     momX = fs._moments_xla(p, m, 0.9, 0.6)
     np.testing.assert_allclose(momT, momX, atol=1e-3)
     n_, nv_, _, _ = fs.moments_to_normals_covs(momX, p, m, None)
-    sT = fs._spfh_tpu(p, m, n_, nv_, 1.5, interpret=True)
+    sT = fs._spfh_tpu(p, m, n_, nv_, 1.5, interpret=True, td=td)
     sX = fs._spfh_xla(p, m, n_, nv_, 1.5)
     np.testing.assert_allclose(sT, sX, atol=1e-3)
     spfh = sX[:, :33] / jnp.maximum(sX[:, 33:], 1.0)
-    aT = fs._fpfh_agg_tpu(p, m, nv_, spfh, 1.5, interpret=True)
+    aT = fs._fpfh_agg_tpu(p, m, nv_, spfh, 1.5, interpret=True, td=td)
     aX = fs._fpfh_agg_xla(p, m, nv_, spfh, 1.5)
     np.testing.assert_allclose(aT, aX, rtol=1e-4, atol=1e-2)
 

@@ -47,10 +47,12 @@ def test_interpret_matches_xla(m, n, k):
 
 
 @pytest.mark.parametrize("m,n,k", CASES)
-def test_banded_matches_unpruned(m, n, k):
+@pytest.mark.parametrize("td", [128, 512])
+def test_banded_matches_unpruned(m, n, k, td):
     """The bbox-pruned kernel must return EXACTLY the unpruned kernel's
     result on the same morton-sorted inputs (the _PRUNE_SLACK margin keeps
-    quantized-key ties unpruned — _knn_kernel_banded docstring)."""
+    quantized-key ties unpruned — _knn_kernel_banded docstring), at every
+    tile width the td knob exposes."""
     rng = np.random.default_rng(3)
     # clustered clouds so the prune actually bites (uniform would too,
     # but clusters also exercise empty/partial tiles)
@@ -65,12 +67,25 @@ def test_banded_matches_unpruned(m, n, k):
     do = pallas_knn.morton_order(db, dm)
     q, qm, db, dm = q[qo], qm[qo], db[do], dm[do]
     d_b, i_b, v_b = pallas_knn._knn_banded_tpu(q, qm, db, dm, k,
-                                               interpret=True)
+                                               interpret=True, td=td)
     d_p, i_p, v_p = pallas_knn._knn_pallas_tpu(q, qm, db, dm, k,
                                                interpret=True)
     assert bool(jnp.all(v_b == v_p))
-    assert bool(jnp.all(jnp.where(v_b, d_b == d_p, True)))
-    assert bool(jnp.all(jnp.where(v_b, i_b == i_p, True)))
+    # exactness requires both kernels' PADDED db sizes to share a bit
+    # length (idx_bits sets the packed-key quantization step); when the td
+    # under test pads differently, equality holds only to the coarser
+    # quantization
+    n_pad_b = -(-n // td) * td
+    _, n_pad_p = pallas_knn._choose_td(n, k)
+    if (n_pad_b - 1).bit_length() == (n_pad_p - 1).bit_length():
+        assert bool(jnp.all(jnp.where(v_b, d_b == d_p, True)))
+        assert bool(jnp.all(jnp.where(v_b, i_b == i_p, True)))
+    else:
+        quant = 2.0 ** -(23 - max((n_pad_b - 1).bit_length(),
+                                  (n_pad_p - 1).bit_length()))
+        rel = jnp.where(v_b, jnp.abs(d_b - d_p) / jnp.maximum(d_p, 1e-9),
+                        0.0)
+        assert float(jnp.max(rel)) <= 2 * quant
 
 
 def test_banded_under_vmap():
