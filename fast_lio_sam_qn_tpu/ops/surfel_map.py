@@ -109,18 +109,45 @@ _FACE = jnp.asarray(
      [0, 0, -1]], jnp.int32)
 
 
-def _compact(key: jax.Array, cap: int, *arrays: jax.Array):
-    """Stable-sort rows by ascending key and keep the first `cap` — the
+def _class_rank(key: jax.Array, num_classes: int) -> jax.Array:
+    """Stable rank of each row under ascending-key order, for keys taking
+    values in [0, num_classes).  rank == argsort-position: rows of class c
+    rank after all rows of classes < c, preserving row order within a
+    class — exactly jnp.argsort(key, stable=True)'s permutation, computed
+    with num_classes cumsums instead of a sort (a 32k-row sort is a
+    multi-pass O(n log^2 n) TPU program; the scan is one vector pass per
+    class)."""
+    key = key.astype(jnp.int32)
+    rank = jnp.zeros(key.shape[0], jnp.int32)
+    offset = jnp.int32(0)
+    for c in range(num_classes):
+        isc = (key == c).astype(jnp.int32)
+        pos = jnp.cumsum(isc)
+        rank = jnp.where(isc > 0, offset + pos - 1, rank)
+        offset = offset + pos[-1]
+    return rank
+
+
+def _compact_idx(key: jax.Array, cap: int, num_classes: int = 2):
+    """Row indices of the first `cap` rows by stable ascending-key order
+    (boolean callers pass ~wanted so wanted rows come first) — bit-equal to
+    jnp.argsort(key, stable=True)[:cap] for keys in [0, num_classes).
+    Requires cap <= len(key) (all call sites guard this), which makes the
+    rank->row scatter cover every output position."""
+    assert cap <= key.shape[0]
+    rank = _class_rank(key, num_classes)
+    rows = jnp.arange(key.shape[0], dtype=jnp.int32)
+    return jnp.zeros(cap, jnp.int32).at[rank].set(rows, mode="drop")
+
+
+def _compact(key: jax.Array, cap: int, *arrays: jax.Array,
+             num_classes: int = 2):
+    """Compact rows to the first `cap` by stable ascending-key order — the
     fixed-shape compaction idiom shared by the hood-refit, claim, and halo
-    paths (boolean callers pass ~wanted so wanted rows sort first)."""
-    order = jnp.argsort(key, stable=True)
-    return tuple(a[order][:cap] for a in arrays)
-
-
-def _compact_idx(key: jax.Array, cap: int) -> jax.Array:
-    """Row indices of the first `cap` rows by stable-sorted key — for
-    compactions that must scatter results back to the original rows."""
-    return jnp.argsort(key, stable=True)[:cap]
+    paths.  Gathers only the `cap` surviving rows (the argsort formulation
+    permuted the FULL arrays before slicing)."""
+    idx = _compact_idx(key, cap, num_classes)
+    return tuple(a[idx] for a in arrays)
 
 
 def _sym_to_mat(s: jax.Array) -> jax.Array:
@@ -550,7 +577,7 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
         prio = jnp.where(use & valid_after & frontier, 0,
                          jnp.where(src_plane_ok, 1, 2)).astype(jnp.int32)
         h_src_coords, h_src_sidx, src_plane_ok = _compact(
-            prio, halo_cap, coords, sidx, src_plane_ok)
+            prio, halo_cap, coords, sidx, src_plane_ok, num_classes=3)
     else:
         h_src_coords = coords
         h_src_sidx = sidx

@@ -138,3 +138,27 @@ def test_lio_surfel_backend_low_drift():
     errs = np.array(errs)
     assert errs[-1] < 0.15, errs[-5:]
     assert errs.max() < 0.3, errs.max()
+
+
+def test_compact_rank_equals_stable_argsort():
+    """_compact_idx's counting-rank formulation must be BIT-EQUAL to
+    stable argsort for every key family the insert uses (bool wanted
+    masks; the halo's 3-class priority), including the tail filler rows —
+    the halo dedup's rank tie-break depends on compacted row order."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fast_lio_sam_qn_tpu.ops import surfel_map as sm
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    for cap in (64, 1024, n):
+        for num_classes, key in (
+                (2, rng.random(n) > 0.9),          # sparse wanted
+                (2, rng.random(n) > 0.1),          # dense wanted
+                (2, np.zeros(n, bool)),            # none wanted
+                (3, rng.integers(0, 3, n))):       # halo priority
+            k = jnp.asarray(np.asarray(key, np.int32))
+            ref = jnp.argsort(k, stable=True)[:cap]
+            got = sm._compact_idx(k, cap, num_classes=num_classes)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
