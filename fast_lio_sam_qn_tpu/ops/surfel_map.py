@@ -46,8 +46,11 @@ _INT_MAX = jnp.iinfo(jnp.int32).max
 
 
 class SurfelMap(NamedTuple):
-    coords: jax.Array      # (T, 3) i32 voxel coords (key verification)
-    occupied: jax.Array    # (T,) bool
+    key: jax.Array         # (T, 4) i32 [voxel coords | occupied 0/1] —
+    #                        ONE table so every verified-probe site
+    #                        (locate, nbr lookup) gathers once, not twice
+    #                        (the insert is table-op-issue-bound, see
+    #                        tools/roofline.insert_budget)
     mom: jax.Array         # (T, 10) packed center-relative moments
     plane: jax.Array       # (T, 6) packed cached plane + flags
     nbr: jax.Array         # (T, 6) i32 face-neighbor slot hints (-1 = none)
@@ -55,9 +58,17 @@ class SurfelMap(NamedTuple):
 
     @property
     def table_size(self) -> int:
-        return self.coords.shape[0]
+        return self.key.shape[0]
 
     # ---- unpacked views (tests/exports; hot paths use packed rows) ----
+    @property
+    def coords(self) -> jax.Array:
+        return self.key[:, :3]
+
+    @property
+    def occupied(self) -> jax.Array:
+        return self.key[:, 3] > 0
+
     @property
     def count(self) -> jax.Array:
         return self.mom[:, 0]
@@ -179,13 +190,19 @@ def _cross_sym(a: jax.Array, b: jax.Array) -> jax.Array:
 def empty(res: float, table_size: int) -> SurfelMap:
     assert table_size & (table_size - 1) == 0
     return SurfelMap(
-        coords=jnp.zeros((table_size, 3), jnp.int32),
-        occupied=jnp.zeros((table_size,), bool),
+        key=jnp.zeros((table_size, 4), jnp.int32),
         mom=jnp.zeros((table_size, 10), jnp.float32),
         plane=jnp.zeros((table_size, 6), jnp.float32),
         nbr=jnp.full((table_size, 6), -1, jnp.int32),
         res=res,
     )
+
+
+def _pack_key(coords: jax.Array, occupied: jax.Array) -> jax.Array:
+    """(T, 3) i32 coords + (T,) bool -> (T, 4) packed key table (one
+    full-table linear pass — cheap next to any random-index table op)."""
+    return jnp.concatenate(
+        [coords, occupied.astype(jnp.int32)[:, None]], axis=1)
 
 
 def _vox_center(coords: jax.Array, res: float) -> jax.Array:
@@ -199,10 +216,13 @@ def _vox_center(coords: jax.Array, res: float) -> jax.Array:
 
 
 def _locate(m: SurfelMap, coords: jax.Array):
-    """(..., 3) coords -> (slot (...,), found (...,)) via verified probes."""
+    """(..., 3) coords -> (slot (...,), found (...,)) via verified probes.
+    ONE packed-key gather per probe set (coords + occupancy ride the same
+    (T, 4) row)."""
     slots = _probe_slots(coords, m.table_size)             # (..., P)
-    keys = m.coords[slots]                                 # (..., P, 3)
-    hit = m.occupied[slots] & jnp.all(keys == coords[..., None, :], -1)
+    kv = m.key[slots]                                      # (..., P, 4)
+    hit = (kv[..., 3] > 0) & jnp.all(
+        kv[..., :3] == coords[..., None, :], -1)
     first = jnp.argmax(hit, axis=-1)
     found = jnp.any(hit, axis=-1)
     slot = jnp.take_along_axis(slots, first[..., None], axis=-1)[..., 0]
@@ -222,8 +242,9 @@ def _nbr_lookup(m: SurfelMap, slots: jax.Array, coords_s: jax.Array):
     ns = m.nbr[slots]                                     # (..., 6)
     nsc = jnp.clip(ns, 0, t - 1)
     expect = coords_s[..., None, :] + _FACE
-    ok = (ns >= 0) & m.occupied[nsc] & jnp.all(
-        m.coords[nsc] == expect, axis=-1)
+    kv = m.key[nsc]                                       # ONE gather
+    ok = (ns >= 0) & (kv[..., 3] > 0) & jnp.all(
+        kv[..., :3] == expect, axis=-1)
     return jnp.where(ok, nsc, 0), ok
 
 
@@ -364,7 +385,7 @@ def _refit_planes(m: SurfelMap, slots: jax.Array, slot_valid: jax.Array,
     min_spread = 0.5 * thickness
     mom_o = m.mom[slots]                                  # ONE gather
     cnt_o = mom_o[:, 0]
-    center_o = _vox_center(m.coords[slots], m.res)
+    center_o = _vox_center(m.key[slots, :3], m.res)
     n_o, d_o, th_o, sp_o = _plane_from(
         cnt_o, mom_o[:, 1:4], mom_o[:, 4:10], center_o)
     use_own = (cnt_o >= 3 * min_pts) & (th_o < thickness) & (
@@ -389,7 +410,8 @@ def _refit_planes(m: SurfelMap, slots: jax.Array, slot_valid: jax.Array,
     else:
         h_slots = slots
         h_valid = need_hood
-    coords = m.coords[h_slots]
+    kv_h = m.key[h_slots]                                 # ONE gather
+    coords = kv_h[:, :3]
     offs = _hood_offsets(hood_window)
 
     def do_hood(plane):
@@ -400,7 +422,7 @@ def _refit_planes(m: SurfelMap, slots: jax.Array, slot_valid: jax.Array,
             ns6, ok6 = _nbr_lookup(m, h_slots, coords)
             nslot = jnp.concatenate([h_slots[:, None], ns6], axis=1)
             nfound = jnp.concatenate(
-                [m.occupied[h_slots][:, None], ok6], axis=1)
+                [(kv_h[:, 3] > 0)[:, None], ok6], axis=1)
         else:
             ncoords = coords[:, None, :] + offs[None]     # (H, W, 3)
             nslot, nfound = _locate(m, ncoords)
@@ -482,8 +504,9 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
             winner = winner[:t]
             newly = winner != _INT_MAX
             widx = jnp.where(newly, winner, 0)
-            new_coords = jnp.where(newly[:, None], bcoords[widx], m.coords)
-            return new_coords, occ1, pslot
+            new_coords = jnp.where(newly[:, None], bcoords[widx],
+                                   m.key[:, :3])
+            return _pack_key(new_coords, occ1), pslot
 
         def compact(_):
             # relocate ONLY the compacted rows afterwards: claims fill
@@ -493,21 +516,21 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
             ridx = _compact_idx(jnp.logical_not(claimable), claim_cap)
             bcoords = coords[ridx]
             bmask = claimable[ridx]
-            new_coords, occ1, pslot = claim_with(bcoords, bmask)
-            m1 = m._replace(coords=new_coords, occupied=occ1)
+            key1, pslot = claim_with(bcoords, bmask)
+            m1 = m._replace(key=key1)
             nbr1 = _claim_maintain_nbr(m1, bcoords, pslot)
             bslot, bfound = _locate(m1, bcoords)
             slot2 = slot.at[ridx].set(jnp.where(bmask, bslot, slot[ridx]))
             found2 = found.at[ridx].set(bfound | found[ridx])
-            return new_coords, occ1, nbr1, slot2, found2
+            return key1, nbr1, slot2, found2
 
         def full(_):
-            new_coords, occ1, pslot = claim_with(coords, claimable)
-            m1 = m._replace(coords=new_coords, occupied=occ1)
+            key1, pslot = claim_with(coords, claimable)
+            m1 = m._replace(key=key1)
             nbr1 = _claim_maintain_nbr(m1, coords, pslot)
             # points that landed in a claimed-new slot get that slot
             slot2, found2 = _locate(m1, coords)
-            return new_coords, occ1, nbr1, slot2, found2
+            return key1, nbr1, slot2, found2
 
         if claim_cap < n_pts0:
             return jax.lax.cond(
@@ -515,11 +538,11 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
         return full(None)
 
     def skip_claim(_):
-        return m.coords, m.occupied, m.nbr, slot, found
+        return m.key, m.nbr, slot, found
 
-    new_coords, occupied, nbr, slot2, found2 = jax.lax.cond(
+    key2, nbr, slot2, found2 = jax.lax.cond(
         need_claim, do_claim, skip_claim, None)
-    m = m._replace(coords=new_coords, occupied=occupied, nbr=nbr)
+    m = m._replace(key=key2, nbr=nbr)
     use = mask & found2
     sidx = jnp.where(use, slot2, t)  # dump row
 
@@ -618,36 +641,36 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
             hwinner = hwinner[:t]
             hnew = hwinner != _INT_MAX
             hidx = jnp.where(hnew, hwinner, 0)
-            coords2 = jnp.where(hnew[:, None], bcoords[hidx], m.coords)
-            return coords2, occupied2, pslot
+            coords2 = jnp.where(hnew[:, None], bcoords[hidx], m.key[:, :3])
+            return _pack_key(coords2, occupied2), pslot
 
         def hclaim_compact(_):
             cidx = _compact_idx(jnp.logical_not(need), _CLAIM_CAP)
             bcoords = hcoords[cidx]
             bmask = need[cidx]
-            coords2, occupied2, pslot = hclaim(bcoords, bmask)
-            m2 = m._replace(coords=coords2, occupied=occupied2)
+            key2, pslot = hclaim(bcoords, bmask)
+            m2 = m._replace(key=key2)
             nbr2 = _claim_maintain_nbr(m2, bcoords, pslot)
             bslot, bfound = _locate(m2, bcoords)
             hslot = hslot0.at[cidx].set(
                 jnp.where(bmask, bslot, hslot0[cidx]))
             hfound2 = hfound.at[cidx].set(bfound | hfound[cidx])
-            return coords2, occupied2, nbr2, hslot, hfound2
+            return key2, nbr2, hslot, hfound2
 
         def hclaim_full(_):
-            coords2, occupied2, pslot = hclaim(hcoords, need)
-            m2 = m._replace(coords=coords2, occupied=occupied2)
+            key2, pslot = hclaim(hcoords, need)
+            m2 = m._replace(key=key2)
             nbr2 = _claim_maintain_nbr(m2, hcoords, pslot)
             hslot, hfound2 = _locate(m2, hcoords)
-            return coords2, occupied2, nbr2, hslot, hfound2
+            return key2, nbr2, hslot, hfound2
 
         if _CLAIM_CAP < hcoords.shape[0]:
-            coords2, occupied2, nbr2, hslot, hfound2 = jax.lax.cond(
+            key2, nbr2, hslot, hfound2 = jax.lax.cond(
                 jnp.sum(need) <= _CLAIM_CAP, hclaim_compact, hclaim_full,
                 None)
         else:
-            coords2, occupied2, nbr2, hslot, hfound2 = hclaim_full(None)
-        m = m._replace(coords=coords2, occupied=occupied2, nbr=nbr2)
+            key2, nbr2, hslot, hfound2 = hclaim_full(None)
+        m = m._replace(key=key2, nbr=nbr2)
         # write source planes into halo slots that hold no real points.
         # Multiple sources can target the same halo slot; a plain
         # duplicate-index scatter-set picks a platform-dependent winner
@@ -739,7 +762,7 @@ def query_planes(m: SurfelMap, points: jax.Array, mask: jax.Array,
     rows = m.plane[slot]                                       # (N, 27, 6)
     mom = m.mom[slot]                                          # (N, 27, 10)
     ok = found & (rows[..., 4] > 0.5) & mask[:, None]
-    centroid = _vox_center(m.coords[slot], m.res) + (
+    centroid = _vox_center(m.key[slot, :3], m.res) + (
         mom[..., 1:4] / jnp.maximum(mom[..., 0], 1.0)[..., None])
     c_d2 = jnp.sum((centroid - points[:, None, :]) ** 2, axis=-1)
     c_d2 = jnp.where(ok, c_d2, jnp.inf)
@@ -758,13 +781,13 @@ def evict_beyond(m: SurfelMap, center: jax.Array,
                  radius: jax.Array) -> SurfelMap:
     """Drop voxels beyond the moving window (zero their moments so slots
     are reusable)."""
-    mean = _vox_center(m.coords, m.res) + (
+    mean = _vox_center(m.key[:, :3], m.res) + (
         m.mom[:, 1:4] / jnp.maximum(m.mom[:, 0], 1.0)[:, None])
     d2 = jnp.sum((mean - center[None]) ** 2, axis=-1)
-    keep = m.occupied & (d2 <= radius * radius)
+    keep = (m.key[:, 3] > 0) & (d2 <= radius * radius)
     kf = keep.astype(jnp.float32)[:, None]
     return m._replace(
-        occupied=keep,
+        key=m.key.at[:, 3].set(keep.astype(jnp.int32)),
         mom=m.mom * kf,
         plane=m.plane * kf,  # zeroes valid + dirty flags too
     )
