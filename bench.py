@@ -192,11 +192,9 @@ def _amortized_ms(src, dst):
 def main():
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/flsq_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from fast_lio_sam_qn_tpu.utils import jaxenv
+
+    jaxenv.setup()
 
     src, dst, drift = build_pair()
     _assert_pallas_parity(dst[0], dst[1])

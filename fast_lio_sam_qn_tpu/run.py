@@ -42,14 +42,9 @@ import numpy as np
 def _enable_compile_cache():
     """Persistent XLA compilation cache: the fused loop-closure program
     compiles in minutes on the remote-compile tunnel; cache it across runs."""
-    import jax
+    from fast_lio_sam_qn_tpu.utils import jaxenv
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/flsq_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    jaxenv.enable_compile_cache()
 
 
 class RunObservers:
@@ -620,22 +615,11 @@ def run_kitti(args):
 
 
 def _apply_platform_override():
-    """Honor FLSQ_PLATFORM (e.g. "cpu") before the jax backend initializes.
+    """Honor FLSQ_PLATFORM (e.g. "cpu") before the jax backend initializes
+    (see utils/jaxenv.py for why JAX_PLATFORMS is not reliable here)."""
+    from fast_lio_sam_qn_tpu.utils import jaxenv
 
-    The JAX_PLATFORMS env var is NOT reliable here: site customizations
-    that register accelerator plugins can rewrite it before jax snapshots
-    the environment, silently sending "cpu" subprocesses to the device
-    (observed: e2e CI subprocesses riding the tunneled TPU at ~100+ s per
-    tiny run). jax.config.update wins over the env var as long as no
-    backend has been touched yet — call this before any jax array work."""
-    plat = os.environ.get("FLSQ_PLATFORM")
-    if plat:
-        import jax
-
-        try:
-            jax.config.update("jax_platforms", plat)
-        except Exception:
-            pass  # backend already initialized; leave as-is
+    jaxenv.apply_platform_override()
 
 
 def main(argv=None):

@@ -76,11 +76,9 @@ def amortized_ms(fn, carry, r1=2, r2=12, pairs=3):
 
 
 def main():
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/flsq_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from fast_lio_sam_qn_tpu.utils import jaxenv
+
+    jaxenv.setup()
     print("platform:", jax.devices()[0].platform, flush=True)
 
     # populate the map with 12 scans so occupancy is realistic

@@ -22,11 +22,9 @@ import jax.numpy as jnp
 
 
 def main():
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/flsq_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from fast_lio_sam_qn_tpu.utils import jaxenv
+
+    jaxenv.setup()
     sys.path.insert(0, ".")
     import bench
     from fast_lio_sam_qn_tpu.ops import fpfh_stream, gicp, quatro

@@ -271,13 +271,9 @@ def insert_budget(n_pts: int = 32768, hood_cap: int = 8192,
 if __name__ == "__main__":
     import sys
 
-    import jax
+    from fast_lio_sam_qn_tpu.utils import jaxenv
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/flsq_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    jaxenv.setup()
     # `--td N` runs the tables at one tile width; `--sweep` runs the full
     # analytic+measured sweep over candidate widths
     if "--sweep" in sys.argv:
