@@ -162,3 +162,35 @@ def test_compact_rank_equals_stable_argsort():
             ref = jnp.argsort(k, stable=True)[:cap]
             got = sm._compact_idx(k, cap, num_classes=num_classes)
             np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_locate_flat_bitexact_vs_locate():
+    """_locate_flat (probe-0 fast path + compacted remainder) must be
+    BIT-EQUAL to _locate on maps with probe collisions AND eviction-
+    hollowed probe chains (a voxel sitting at probe p>0 whose probe-0
+    slot was evicted must still be found), across cap regimes including
+    the cond fallback (misses > cap)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_lio_sam_qn_tpu.ops import surfel_map as sm
+
+    rng = np.random.default_rng(11)
+    # tiny table -> heavy probe collisions
+    m = sm.empty(res=0.5, table_size=1 << 8)
+    pts = rng.uniform(-6, 6, (2000, 3)).astype(np.float32)
+    m = sm.insert(m, jnp.asarray(pts), jnp.ones(2000, bool),
+                  thickness=jnp.float32(0.1))
+    # evict a shell: hollows out probe-0 slots of surviving far voxels
+    m = sm.evict_beyond(m, jnp.zeros(3, jnp.float32), jnp.float32(4.0))
+    # queries: mix of present, evicted, and never-present voxels
+    q = np.concatenate([pts[:800],
+                        rng.uniform(-8, 8, (800, 3)).astype(np.float32)])
+    coords = jnp.asarray(np.floor(q / 0.5).astype(np.int32))
+    ref_slot, ref_found = jax.jit(sm._locate)(m, coords)
+    for cap in (64, 400, 1600):
+        slot, found = jax.jit(
+            lambda mm, cc: sm._locate_flat(mm, cc, cap=cap))(m, coords)
+        np.testing.assert_array_equal(np.asarray(found),
+                                      np.asarray(ref_found))
+        np.testing.assert_array_equal(np.asarray(slot), np.asarray(ref_slot))
