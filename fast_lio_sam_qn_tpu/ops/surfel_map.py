@@ -451,11 +451,19 @@ def _refit_planes(m: SurfelMap, slots: jax.Array, slot_valid: jax.Array,
     # phase 2: hood fit for the rest (compacted when capped)
     need_hood = slot_valid & ~use_own
     if hood_cap is not None and hood_cap < s_rows:
-        h_slots, h_valid = _compact(
-            jnp.logical_not(need_hood), hood_cap, slots, need_hood)
+        h_idx = _compact_idx(jnp.logical_not(need_hood), hood_cap)
+        h_slots = slots[h_idx]
+        h_valid = need_hood[h_idx]
+        # reconstruction below is exact only when EVERY hood row made the
+        # compacted batch (overflow drops rows whose slot may still be
+        # refit through a duplicate row — the table then disagrees with
+        # the per-row estimate)
+        recon_exact = jnp.sum(need_hood) <= hood_cap
     else:
+        h_idx = None
         h_slots = slots
         h_valid = need_hood
+        recon_exact = jnp.asarray(True)
     kv_h = m.key[h_slots]                                 # ONE gather
     coords = kv_h[:, :3]
     offs = _hood_offsets(hood_window)
@@ -497,16 +505,32 @@ def _refit_planes(m: SurfelMap, slots: jax.Array, slot_valid: jax.Array,
         dirty_new = (prev_h[:, 5] > 0.5) | _plane_changed(n_h, d_h, prev_h)
         rows_h = _pack_plane(n_h, d_h, valid_new, dirty_new & valid_new)
         safe_h = jnp.where(write, h_slots, m.table_size)
-        return plane.at[safe_h].set(rows_h, mode="drop")  # ONE scatter
+        return plane.at[safe_h].set(rows_h, mode="drop"), rows_h
 
     # steady-state fast path: no immature voxels this scan -> skip the
     # whole hood gather/fit block (identical semantics: with zero valid
-    # rows every hood scatter is a no-op)
-    plane = jax.lax.cond(jnp.any(h_valid), do_hood, lambda p: p, plane)
+    # rows every hood scatter is a no-op, and the zero rows_h are h_valid-
+    # masked out of the reconstruction)
+    plane, rows_h = jax.lax.cond(
+        jnp.any(h_valid), do_hood,
+        lambda p: (p, jnp.zeros((h_slots.shape[0], 6), jnp.float32)),
+        plane)
+
+    # per-input-row POST-refit plane rows, reconstructed without touching
+    # the table (saves the caller's 32k-row after_rows gather): own-fit
+    # rows take rows_o, hood-batch rows take rows_h (scattered back by
+    # original row index), everything else kept its previous row. Exact
+    # unless the hood batch overflowed (recon_exact False — cold start).
+    after_est = jnp.where(own_rows[:, None], rows_o, prev_o)
+    if h_idx is not None:
+        after_est = after_est.at[
+            jnp.where(h_valid, h_idx, s_rows)].set(rows_h, mode="drop")
+    else:
+        after_est = jnp.where(h_valid[:, None], rows_h, after_est)
     # prev_o is returned so the caller does not re-gather the pre-refit
     # plane rows it needs for frontier/dirty bookkeeping (a 32k-row
     # gather saved per insert)
-    return m._replace(plane=plane), prev_o
+    return m._replace(plane=plane), prev_o, after_est, recon_exact
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -607,9 +631,9 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
     # duplicates refit redundantly but harmlessly). prev_rows are the
     # pre-refit plane rows (returned by the refit, which gathers them
     # anyway for change detection).
-    m, prev_rows = _refit_planes(m, jnp.clip(sidx, 0, t - 1), use,
-                                 thickness, hood_cap=hood_cap,
-                                 hood_window=hood_window)
+    m, prev_rows, after_est, recon_exact = _refit_planes(
+        m, jnp.clip(sidx, 0, t - 1), use, thickness, hood_cap=hood_cap,
+        hood_window=hood_window)
     valid_before = prev_rows[:, 4] > 0.5
 
     if not halo:
@@ -635,7 +659,13 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
     # toward zero. Re-fanning ALL 6*n_pts faces every scan is the naive
     # extreme (~20 ms of the 74 ms insert at 32k points). Dirty sources
     # beyond halo_cap keep their bit and retry next scan.
-    after_rows = m.plane[jnp.clip(sidx, 0, t - 1)]
+    # post-refit rows come from the refit's per-row reconstruction
+    # (elementwise + one hood_cap-row scatter) instead of a 32k-row table
+    # gather; the gather survives only as the lax.cond fallback for the
+    # hood-batch-overflow case (cold start), keeping semantics bit-exact.
+    after_rows = jax.lax.cond(
+        recon_exact, lambda: after_est,
+        lambda: m.plane[jnp.clip(sidx, 0, t - 1)])
     valid_after = after_rows[:, 4] > 0.5
     dirty = after_rows[:, 5] > 0.5
     frontier = (cnt_before == 0.0) | (valid_after & ~valid_before)

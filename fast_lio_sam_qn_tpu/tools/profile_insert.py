@@ -168,16 +168,18 @@ def main():
 
     def refit(c, i):
         mm, acc = c
-        mm2, _ = _refit_planes(mm, jnp.clip(slot0, 0, TABLE - 1), use0,
-                               th + acc * 1e-12, hood_cap=HOOD_CAP)
+        mm2, _, _, _ = _refit_planes(
+            mm, jnp.clip(slot0, 0, TABLE - 1), use0,
+            th + acc * 1e-12, hood_cap=HOOD_CAP)
         return (mm2, acc + mm2.plane_d[0] * 1e-12 + 1e-12)
     print(f"refit planes:       "
           f"{amortized_ms(refit, (m, jnp.float32(0))):8.2f} ms", flush=True)
 
     def refit_own_only(c, i):
         mm, acc = c
-        mm2, _ = _refit_planes(mm, jnp.clip(slot0, 0, TABLE - 1), use0,
-                               th + acc * 1e-12, hood_cap=1)
+        mm2, _, _, _ = _refit_planes(
+            mm, jnp.clip(slot0, 0, TABLE - 1), use0,
+            th + acc * 1e-12, hood_cap=1)
         return (mm2, acc + mm2.plane_d[0] * 1e-12 + 1e-12)
     print(f"refit own-only:     "
           f"{amortized_ms(refit_own_only, (m, jnp.float32(0))):8.2f} ms", flush=True)

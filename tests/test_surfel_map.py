@@ -194,3 +194,58 @@ def test_locate_flat_bitexact_vs_locate():
         np.testing.assert_array_equal(np.asarray(found),
                                       np.asarray(ref_found))
         np.testing.assert_array_equal(np.asarray(slot), np.asarray(ref_slot))
+
+
+def test_refit_after_rows_reconstruction_bitexact():
+    """_refit_planes' per-row post-refit reconstruction must equal a table
+    gather whenever it reports recon_exact — across own-fit, hood-fit
+    (capped and uncapped), duplicate-slot, and masked rows — and must
+    report recon_exact=False when the hood batch overflows."""
+    import jax
+
+    from fast_lio_sam_qn_tpu.ops import surfel_map as sm
+    from fast_lio_sam_qn_tpu.ops.voxel import voxel_coords
+
+    rng = np.random.default_rng(7)
+    # mix of surfaces (own-fit candidates) and sparse scatter (hood rows)
+    xy = rng.uniform(-4, 4, (1500, 2)).astype(np.float32)
+    wall = np.concatenate(
+        [xy, rng.normal(0, 0.01, (1500, 1)).astype(np.float32)], -1)
+    blob = rng.uniform(-4, 4, (500, 3)).astype(np.float32)
+    pts = jnp.asarray(np.concatenate([wall, blob]))
+    n = pts.shape[0]
+    th = jnp.float32(0.1)
+    m = sm.empty(res=0.5, table_size=1 << 12)
+    m = sm.insert(m, pts, jnp.ones(n, bool), th)
+    # duplicate-heavy slot list with some masked rows
+    mask = jnp.asarray(rng.random(n) > 0.2)
+    coords = voxel_coords(pts, m.res)
+    slot, found = sm._locate(m, coords)
+    use = mask & found
+    t = m.table_size
+    slots = jnp.clip(jnp.where(use, slot, t), 0, t - 1)
+
+    for hood_cap, hood_window in [(None, 27), (4096, 27), (4096, 7)]:
+        m2, _, after_est, exact = sm._refit_planes(
+            m, slots, use, th, hood_cap=hood_cap, hood_window=hood_window)
+        assert bool(exact), (hood_cap, hood_window)
+        got = np.asarray(after_est)[np.asarray(use)]
+        want = np.asarray(m2.plane[slots])[np.asarray(use)]
+        np.testing.assert_array_equal(got, want)
+
+    # overflow: cap smaller than the hood-row count -> exact must be False
+    m3, _, _, exact3 = sm._refit_planes(m, slots, use, th, hood_cap=8)
+    assert not bool(exact3)
+
+    # full-insert equivalence: recon path (ample cap) vs gather fallback
+    # (tiny cap forces recon_exact False -> the lax.cond takes the table
+    # gather). Different caps change WHICH hood slots refit, so compare the
+    # recon path against itself re-run — the real guarantee is the direct
+    # row comparison above plus the insert-level invariant that a second
+    # identical insert is deterministic.
+    more = jnp.asarray(
+        rng.uniform(-4, 4, (256, 3)).astype(np.float32))
+    a = sm.insert(m, more, jnp.ones(256, bool), th, hood_cap=4096)
+    b = sm.insert(m, more, jnp.ones(256, bool), th, hood_cap=4096)
+    for fa, fb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
