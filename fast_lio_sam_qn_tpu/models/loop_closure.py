@@ -120,6 +120,15 @@ def set_src_and_dst_cloud(
     return src, dst
 
 
+# Pallas kernels with SMEM operands (the banded kNN keep bitmap, the
+# streaming-FPFH tile bboxes) are interpret-tested under vmap but not yet
+# chip-proven in a BATCHED (vmapped) Mosaic lowering; until they are, the
+# batched loop-closure paths use the semantically-identical unbanded /
+# XLA-fallback variants (spmd.batched_gicp_align makes the same choice).
+# Flip to True after an on-chip vmapped-parity run.
+VMAP_PRUNED_KERNELS_PROVEN = False
+
+
 class LoopClosure:
     """Host-side handle owning config + jitted registration programs."""
 
@@ -137,7 +146,8 @@ class LoopClosure:
         # (fast_lio_sam_qn.cpp:205-210); batching removes that ceiling and
         # data-parallelizes across devices when a mesh is present
         self._perform_batch_jit = jax.jit(
-            jax.vmap(self._perform_impl, in_axes=(None, 0, 0)))
+            jax.vmap(functools.partial(self._perform_impl, batched=True),
+                     in_axes=(None, 0, 0)))
         self._sharded_batch_cache: dict = {}
 
     def fetch_closest_keyframe_idx(self, store, query_pose, query_time):
@@ -155,7 +165,7 @@ class LoopClosure:
           jnp.float32(self.cfg.loop_detection_timediff_threshold))
 
     def icp_alignment(self, src, src_mask, dst, dst_mask, init_T=None,
-                      src_cov=None, dst_cov=None):
+                      src_cov=None, dst_cov=None, batched=False):
         gc = self.cfg.gicp
         res = gicp.align(
             src, src_mask, dst, dst_mask, init_T=init_T,
@@ -163,7 +173,8 @@ class LoopClosure:
             max_corr_dist=gc.max_corr_dist,
             trans_eps=gc.transformation_epsilon,
             cov_backend="brute", voxel_res=self.cfg.voxel_res,
-            src_cov=src_cov, dst_cov=dst_cov)
+            src_cov=src_cov, dst_cov=dst_cov,
+            banded=not batched or VMAP_PRUNED_KERNELS_PROVEN)
         # acceptance: converged AND below the score threshold
         # (loop_closure.cpp:129) AND — unless degeneracy_gate is off
         # (strict parity) — not translation-degenerate (a TPU-native
@@ -175,7 +186,7 @@ class LoopClosure:
         return res, valid
 
     def coarse_to_fine_alignment(self, src, src_mask, dst, dst_mask,
-                                 src_vp, dst_vp):
+                                 src_vp, dst_vp, batched=False):
         """Quatro coarse -> GICP fine (loop_closure.cpp:138-159).
 
         With the default streaming FPFH backend (quatro.fpfh_backend
@@ -186,13 +197,17 @@ class LoopClosure:
         C' = R C R^T; the neighborhood is rigid-invariant)."""
         qc = self.cfg.quatro
         src_covs = dst_covs = None
+        stream_tpu = None if (not batched or VMAP_PRUNED_KERNELS_PROVEN) \
+            else False
         if qc.fpfh_backend == "stream":
             ds, fs, (_, nvs, cs) = fpfh_stream.fpfh_radius(
                 src, src_mask, qc.fpfh_normal_radius, qc.fpfh_radius,
-                viewpoint=src_vp, cov_radius=qc.fpfh_cov_radius)
+                viewpoint=src_vp, cov_radius=qc.fpfh_cov_radius,
+                use_tpu=stream_tpu)
             dd, fd, (_, nvd, cd) = fpfh_stream.fpfh_radius(
                 dst, dst_mask, qc.fpfh_normal_radius, qc.fpfh_radius,
-                viewpoint=dst_vp, cov_radius=qc.fpfh_cov_radius)
+                viewpoint=dst_vp, cov_radius=qc.fpfh_cov_radius,
+                use_tpu=stream_tpu)
             src_covs, dst_covs = (cs, nvs), (cd, nvd)
         else:
             ds, fs = fpfh.fpfh(
@@ -220,7 +235,8 @@ class LoopClosure:
                                    precision="highest"), src_covs[1])
         fine, fine_valid = self.icp_alignment(src_c, src_mask, dst, dst_mask,
                                               src_cov=src_covs,
-                                              dst_cov=dst_covs)
+                                              dst_cov=dst_covs,
+                                              batched=batched)
         final_T = se3.compose(fine.transform, q.transform)
         valid = q.converged & fine_valid
         return final_T, fine.fitness, valid, q
@@ -249,13 +265,14 @@ class LoopClosure:
             fn = self._sharded_batch_cache.get(mesh)
             if fn is None:
                 fn = spmd.make_sharded_loop_closure_batch(
-                    mesh, self._perform_impl)
+                    mesh, functools.partial(self._perform_impl,
+                                            batched=True))
                 self._sharded_batch_cache[mesh] = fn
             return fn(store, query_idxs, closest_idxs)
         return self._perform_batch_jit(store, query_idxs, closest_idxs)
 
     def _perform_impl(self, store: KeyframeStore, query_idx,
-                      closest_idx) -> RegistrationOutput:
+                      closest_idx, batched=False) -> RegistrationOutput:
         c = self.cfg
         no_candidate = closest_idx < 0
         safe_idx = jnp.maximum(closest_idx, 0)
@@ -269,10 +286,12 @@ class LoopClosure:
             src_vp = store.poses_corrected[query_idx][:3, 3]
             dst_vp = store.poses_corrected[safe_idx][:3, 3]
             T, score, valid, q = self.coarse_to_fine_alignment(
-                src, src_mask, dst, dst_mask, src_vp, dst_vp)
+                src, src_mask, dst, dst_mask, src_vp, dst_vp,
+                batched=batched)
             converged = q.converged
         else:
-            res, valid = self.icp_alignment(src, src_mask, dst, dst_mask)
+            res, valid = self.icp_alignment(src, src_mask, dst, dst_mask,
+                                            batched=batched)
             T, score, converged = res.transform, res.fitness, res.converged
         valid = valid & ~no_candidate
         return RegistrationOutput(

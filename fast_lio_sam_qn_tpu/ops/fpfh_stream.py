@@ -41,7 +41,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import linalg3
-from .pallas_knn import morton_order as _morton_order  # shared locality sort
+from .pallas_knn import (morton_order as _morton_order,  # shared locality sort
+                         on_tpu as _pallas_on_tpu)
 
 FPFH_DIM = 33
 _NBINS = 11
@@ -541,7 +542,7 @@ def _fpfh_agg_xla(points, mask, n_valid, spfh, radius: float):
 
 
 def on_tpu() -> bool:
-    return jax.devices()[0].platform in ("tpu", "axon")
+    return _pallas_on_tpu()
 
 
 @functools.partial(jax.jit, static_argnames=("normal_radius",
@@ -586,7 +587,8 @@ def _fpfh_radius_impl(points, mask, normal_radius, feature_radius,
 
 
 def fpfh_radius(points, mask, normal_radius: float, feature_radius: float,
-                viewpoint=None, cov_radius: float = 0.6, td: int = TD):
+                viewpoint=None, cov_radius: float = 0.6, td: int = TD,
+                use_tpu: bool | None = None):
     """Full radius-FPFH descriptor + the shared surface geometry.
 
     Returns (desc (N, 33), valid (N,), (normals, n_valid, cov_reg)) where
@@ -598,7 +600,13 @@ def fpfh_radius(points, mask, normal_radius: float, feature_radius: float,
     point-to-plane slide valley in the fine stage).  Radii must be static
     python floats (one compile per setting).  `td` is the db tile width
     (pruning granularity) — pruned tiles cost ~nothing, so finer tiles
-    remove more pair blocks (see tools/roofline.py for the sweep)."""
+    remove more pair blocks (see tools/roofline.py for the sweep).
+    use_tpu overrides kernel selection (None = autodetect); callers that
+    vmap this (batched loop closure) pass False until the SMEM-operand
+    kernels are chip-proven under vmap — the XLA path is semantically
+    identical."""
+    if use_tpu is None:
+        use_tpu = on_tpu()
     return _fpfh_radius_impl(points, mask, float(normal_radius),
                              float(feature_radius), float(cov_radius),
-                             viewpoint, on_tpu(), td=int(td))
+                             viewpoint, bool(use_tpu), td=int(td))

@@ -264,52 +264,56 @@ def _tile_bboxes(points, valid, n_pad, td):
     return jnp.concatenate([mins, maxs, pad, pad], axis=1).T
 
 
+def _block_tile_keep(q, qmask, m_padded, db, dbmask, n_padded, td, k):
+    """(n_blocks, n_tiles) i32 keep bitmap: may db tile t hold one of the
+    k nearest neighbors of some query in block b?
+
+    Sound for ANY k (not just k=1): each non-empty tile holds >= 1 valid
+    point within maxdist2(block bbox, tile bbox) of every query in the
+    block, so the k-th smallest per-tile maxdist2 bounds every query's
+    k-th NN distance — k distinct tiles contribute k distinct points.
+    Tiles with mindist2 beyond that bound (x _PRUNE_SLACK, covering
+    packed-key mantissa-truncation ties) cannot change the result. Empty
+    tiles carry inf bounds and are dropped; fewer than k non-empty tiles
+    makes the bound inf and keeps everything (exact, unpruned)."""
+    qb = _tile_bboxes(q, qmask, m_padded, TQ)          # (8, n_blocks)
+    tb = _tile_bboxes(db, dbmask, n_padded, td)        # (8, n_tiles)
+    qlo, qhi = qb[:3].T[:, None, :], qb[3:6].T[:, None, :]  # (B, 1, 3)
+    tlo, thi = tb[:3].T[None], tb[3:6].T[None]              # (1, T, 3)
+    e = jnp.maximum(jnp.abs(thi - qlo), jnp.abs(qhi - tlo))
+    md2 = jnp.sum(e * e, axis=-1)                           # (B, T)
+    gap = jnp.maximum(jnp.maximum(tlo - qhi, qlo - thi), 0.0)
+    g2 = jnp.sum(gap * gap, axis=-1)                        # (B, T)
+    n_tiles = md2.shape[1]
+    kth = jnp.sort(md2, axis=1)[:, min(k, n_tiles) - 1]    # (B,)
+    keep = g2 <= kth[:, None] * jnp.float32(_PRUNE_SLACK)
+    return keep.astype(jnp.int32)
+
+
 def _knn_kernel_banded(k: int, n_db: int, feat: int, td: int):
-    """_knn_kernel + bbox tile pruning. A pre-pass over the (SMEM) tile
-    bboxes computes ub2 = min_t maxdist2(query-block bbox, tile t bbox) —
-    an upper bound on every valid query's NN distance (each non-empty
-    tile holds >= 1 valid point). Tiles with mindist2 > ub2*_PRUNE_SLACK
-    cannot hold the NN of any query in the block (nor tie its packed
-    quantized key — the slack covers the idx_bits mantissa truncation),
-    so skipping them leaves the result exactly equal to the unpruned
-    kernel on the same sorted inputs (exact equality additionally needs
-    both kernels' PADDED db sizes to share a bit length, since idx_bits
-    sets the quantization step; true for every shape the product and the
-    tests use, and bench.py asserts it on chip every round)."""
+    """_knn_kernel + bbox tile pruning, driven by a precomputed
+    (query-block, db-tile) keep bitmap (see _block_tile_keep): the kernel
+    processes only tiles whose keep bit is set — skipped tiles cannot hold
+    any of the block's k nearest neighbors (nor tie their packed quantized
+    keys), so the result is exactly equal to the unpruned kernel on the
+    same sorted inputs (exact equality additionally needs both kernels'
+    PADDED db sizes to share a bit length, since idx_bits sets the
+    quantization step; true for every shape the product and the tests use,
+    and bench.py asserts it on chip every round)."""
     n_tiles = n_db // td
     kc = n_tiles * k
     idx_bits = max((n_db - 1).bit_length(), 1)
     idx_mask = (1 << idx_bits) - 1
 
-    def kernel(qT_ref, qq_ref, qv_ref, dbT_ref, dd_ref, bbox_ref,
+    def kernel(qT_ref, qq_ref, dbT_ref, dd_ref, keep_ref,
                out_d_ref, out_i_ref):
         qq = qq_ref[0, :]  # (TQ,)
         cand_slot = jax.lax.broadcasted_iota(jnp.int32, (TQ, kc), 1)
         qTv = qT_ref[...]
-        v = qv_ref[...] > 0.0  # (1, TQ)
-        lo = [jnp.min(jnp.where(v, qTv[i:i + 1, :], jnp.inf))
-              for i in range(3)]
-        hi = [jnp.max(jnp.where(v, qTv[i:i + 1, :], -jnp.inf))
-              for i in range(3)]
-
-        def ub_body(t, ub2):
-            md2 = jnp.float32(0.0)
-            for i in range(3):
-                e = jnp.maximum(jnp.abs(bbox_ref[3 + i, t] - lo[i]),
-                                jnp.abs(hi[i] - bbox_ref[i, t]))
-                md2 = md2 + e * e
-            return jnp.minimum(ub2, md2)
-
-        ub2 = jax.lax.fori_loop(0, n_tiles, ub_body, jnp.float32(_BIG))
+        blk = pl.program_id(0)
 
         def tile_near(t):
-            g2 = jnp.float32(0.0)
-            for i in range(3):
-                gap = jnp.maximum(jnp.maximum(bbox_ref[i, t] - hi[i],
-                                              lo[i] - bbox_ref[3 + i, t]),
-                                  0.0)
-                g2 = g2 + gap * gap
-            return g2 <= ub2 * jnp.float32(_PRUNE_SLACK)
+            return keep_ref[blk, t] != 0
 
         def db_tile(t, cand_key):
             def process(cand_key):
@@ -406,12 +410,11 @@ def _knn_banded_tpu(queries, qmask, db, dbmask, k: int,
     n_padded = -(-n // td) * td
     m_pad = (-m) % TQ
     q = jnp.pad(queries, ((0, m_pad), (0, 0)))
-    qv = jnp.pad(qmask.astype(jnp.float32), (0, m_pad))[None, :]
     dbp = jnp.pad(db, ((0, n_padded - n), (0, 0)))
     dpen = jnp.pad(jnp.where(dbmask, 0.0, _BIG), (0, n_padded - n),
                    constant_values=_BIG)
     mp, np_ = q.shape[0], dbp.shape[0]
-    bbox = _tile_bboxes(db, dbmask, n_padded, td)
+    keep = _block_tile_keep(queries, qmask, mp, db, dbmask, n_padded, td, k)
 
     qT = q.T
     qq = jnp.sum(q * q, axis=-1)[None, :]
@@ -426,11 +429,10 @@ def _knn_banded_tpu(queries, qmask, db, dbmask, k: int,
             pl.BlockSpec((feat, TQ), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TQ), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TQ), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((feat, np_), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, np_), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, np_ // td), lambda i: (0, 0),
+            pl.BlockSpec((mp // TQ, np_ // td), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -442,7 +444,7 @@ def _knn_banded_tpu(queries, qmask, db, dbmask, k: int,
             jax.ShapeDtypeStruct((mp, k), jnp.int32),
         ],
         interpret=interpret,
-    )(qT, qq, qv, dbT, dd, bbox)
+    )(qT, qq, dbT, dd, keep)
 
     out_d = out_d[:m]
     out_i = out_i[:m]

@@ -114,17 +114,31 @@ class RunObservers:
                        "keyframes": n, "t": t}, f)
 
 
+def _get_pipeline_config(args, preset):
+    """Preset config with the CLI's capacity overrides applied locally
+    (no module-global patching: in-process main() calls must not leak
+    --scan-cap/--table-size into later runs)."""
+    from .configs.presets import get_pipeline_config
+
+    cfg = get_pipeline_config(preset)
+    over = {k: v for k, v in (
+        ("max_points_per_scan", getattr(args, "scan_cap", None)),
+        ("map_table_size", getattr(args, "table_size", None))) if v}
+    if over:
+        cfg.lio = dataclasses.replace(cfg.lio, **over)
+    return cfg
+
+
 def run_sim(args):
     import jax.numpy as jnp
 
-    from .configs.presets import get_pipeline_config
     from .models.lio import LIO
     from .models.pipeline import FastLioSamQnPipeline
     from .utils import evaluation, sim
     from .utils.config import Capacities
     from .utils.profiling import Profiler
 
-    cfg = get_pipeline_config("sim")
+    cfg = _get_pipeline_config(args, "sim")
     cfg.caps = Capacities(max_keyframes=256, max_loop_factors=32,
                           keyframe_points=2048, src_points=2048,
                           dst_points=4096)
@@ -242,12 +256,11 @@ def _feed_scan_files(pipe, scan_paths, poses, stamps, world_frame, cap,
 
 
 def run_parity(args):
-    from .configs.presets import get_pipeline_config
     from .models.pipeline import FastLioSamQnPipeline
     from .utils import io
     from .utils.profiling import Profiler
 
-    cfg = get_pipeline_config(args.preset)
+    cfg = _get_pipeline_config(args, args.preset)
     pipe = FastLioSamQnPipeline(cfg)
     prof = Profiler()
     scan_paths = sorted(
@@ -332,7 +345,6 @@ def run_bag(args):
 
     from collections import deque
 
-    from .configs.presets import get_pipeline_config
     from .models.lio import LIO
     from .models.pipeline import FastLioSamQnPipeline
     from .runtime.rosbag import (BagReader, decode_imu, decode_odometry,
@@ -341,7 +353,7 @@ def run_bag(args):
     from .utils.profiling import Profiler
     from .utils.sim import pad_cloud
 
-    cfg = get_pipeline_config(args.preset)
+    cfg = _get_pipeline_config(args, args.preset)
     pipe = FastLioSamQnPipeline(cfg)
     prof = Profiler()
     obs = RunObservers(args, cfg.vis_hz, cfg.save_voxel_resolution)
@@ -358,6 +370,8 @@ def run_bag(args):
         sync = ApproxTimeSync(slop=args.sync_slop)
         scans, odoms = {}, {}
         na = nb = n_fed = 0
+        drop_a = drop_b = 0     # messages the sync discarded unmatched
+        next_a = next_b = 0     # ids below these are fed or dropped
         with prof.span("run"):
             for topic, mtype, trec, raw in reader.messages():
                 if mtype == "sensor_msgs/PointCloud2" and scan_topic is None:
@@ -379,6 +393,18 @@ def run_bag(args):
                     continue
                 while (p := sync.pop()) is not None:
                     ia_, ib_, _, tb = p
+                    # the matcher consumes both queues front-to-back, so
+                    # any buffered message with an id below the matched
+                    # pair was silently discarded by the sync: free it
+                    # (the dicts grow without bound otherwise) and count
+                    # it (message_filters drops these the same way)
+                    for j in range(next_a, ia_):
+                        if scans.pop(j, None) is not None:
+                            drop_a += 1
+                    for j in range(next_b, ib_):
+                        if odoms.pop(j, None) is not None:
+                            drop_b += 1
+                    next_a, next_b = ia_ + 1, ib_ + 1
                     xyzi = scans.pop(ia_)
                     T = odoms.pop(ib_)
                     pts, inten = xyzi[:, :3], xyzi[:, 3]
@@ -397,10 +423,14 @@ def run_bag(args):
                     obs.tick(pipe, float(tb))
                     n_fed += 1
         sync.close()
+        # tail messages never matched before end-of-stream count as
+        # dropped too (total = everything decoded that was not fed)
+        drop_a += len(scans)
+        drop_b += len(odoms)
         return pipe, {
             "mode": "bag", "scans": n_fed,
-            "dropped_unmatched": (na + nb) - 2 * n_fed - len(scans)
-            - len(odoms), "keyframes": pipe.current_kf_idx,
+            "dropped_unmatched": drop_a + drop_b,
+            "keyframes": pipe.current_kf_idx,
             "loops_accepted": len(pipe.loop_idx_pairs),
             "loop_attempts": len(pipe.loop_events),
             "scan_topic": scan_topic, "odom_topic": args.odom_topic,
@@ -500,7 +530,6 @@ def run_bag(args):
 def run_kitti(args):
     import jax.numpy as jnp
 
-    from .configs.presets import get_pipeline_config
     from .models.lio import LIO
     from .models.pipeline import FastLioSamQnPipeline
     from .runtime import ScanLoader
@@ -508,7 +537,7 @@ def run_kitti(args):
     from .utils.profiling import Profiler
     from .utils.sim import pad_cloud
 
-    cfg = get_pipeline_config(args.preset)
+    cfg = _get_pipeline_config(args, args.preset)
     pipe = FastLioSamQnPipeline(cfg)
     lio = LIO(cfg.lio)
     prof = Profiler()
@@ -691,21 +720,6 @@ def main(argv=None):
 
     if args.resume and not args.kitti:
         p.error("--resume is supported in integrated (--kitti) mode")
-    if args.scan_cap or args.table_size:
-        from .configs import presets as _presets
-
-        base = _presets.get_pipeline_config
-        over = {k: v for k, v in (
-            ("max_points_per_scan", args.scan_cap),
-            ("map_table_size", args.table_size)) if v}
-
-        def patched(preset="kitti"):
-            cfg = base(preset)
-            cfg.lio = dataclasses.replace(cfg.lio, **over)
-            return cfg
-
-        # run_* modes import get_pipeline_config from configs.presets
-        _presets.get_pipeline_config = patched
     _enable_compile_cache()
     if args.sim:
         pipe, report = run_sim(args)

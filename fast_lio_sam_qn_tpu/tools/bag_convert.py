@@ -62,9 +62,15 @@ def convert(bag_path: str, out_dir: str, scan_topic: str | None = None,
             t0 = stamp if t0 is None else min(t0, stamp)
             xyzi.astype(np.float32).tofile(
                 os.path.join(out_dir, "scans", f"{n_scan:06d}.bin"))
-            np.save(os.path.join(rel_dir, f"{n_scan:06d}.npy"),
-                    rel.astype(np.float32))
-            have_rel = have_rel or (len(rel) > 0 and float(rel.max()) > 0.0)
+            # write the sidecar ONLY for scans with usable times: mixed
+            # bags (driver zero-fills some scans) must fall back to
+            # lidar_type synthesis per scan, exactly like the streaming
+            # --bag path's per-message has_rel check (run.py)
+            scan_has_rel = len(rel) > 0 and float(rel.max()) > 0.0
+            if scan_has_rel:
+                np.save(os.path.join(rel_dir, f"{n_scan:06d}.npy"),
+                        rel.astype(np.float32))
+            have_rel = have_rel or scan_has_rel
             times.append(stamp)
             n_scan += 1
         elif topic == imu_topic and mtype == "sensor_msgs/Imu":

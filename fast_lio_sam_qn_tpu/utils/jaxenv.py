@@ -17,6 +17,7 @@ Two concerns, both of which must run BEFORE the first jax backend touch:
 from __future__ import annotations
 
 import os
+import sys
 
 CACHE_DIR = "/tmp/flsq_jax_cache"
 
@@ -28,8 +29,18 @@ def apply_platform_override() -> None:
 
         try:
             jax.config.update("jax_platforms", plat)
-        except Exception:
-            pass  # backend already initialized; leave as-is
+        except Exception as e:
+            # The backend initialized before us (some import touched it).
+            # This MUST be loud: CI subprocesses that set FLSQ_PLATFORM=cpu
+            # would otherwise silently ride the TPU tunnel at ~100 s/run.
+            print(f"WARNING: FLSQ_PLATFORM={plat} could not be applied "
+                  f"(jax backend already initialized): {e}",
+                  file=sys.stderr, flush=True)
+            return
+        if jax.devices()[0].platform != plat:
+            print(f"WARNING: FLSQ_PLATFORM={plat} requested but jax "
+                  f"initialized platform {jax.devices()[0].platform}",
+                  file=sys.stderr, flush=True)
 
 
 def enable_compile_cache(cache_dir: str = CACHE_DIR) -> None:

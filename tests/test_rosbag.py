@@ -122,7 +122,8 @@ def _lz4_frame(payload: bytes, compressed_first_block=True) -> bytes:
     return out
 
 
-def _write_bag(path, compression="none", with_odom=False, with_time=True):
+def _write_bag(path, compression="none", with_odom=False, with_time=True,
+               odom_skip=()):
     rng = np.random.default_rng(0)
     records = b""
     records += _conn_record(0, "/os_cloud_node/points",
@@ -138,7 +139,7 @@ def _write_bag(path, compression="none", with_odom=False, with_time=True):
             else None
         scans.append((t, xyzi))
         records += _msg_record(0, t, _pointcloud2(t, xyzi, rel))
-        if with_odom:
+        if with_odom and i not in odom_skip:
             records += _msg_record(2, t, _odom(t, [0.5 * i, 0.0, 0.0]))
     for j in range(30):
         t = 100.0 + 0.01 * j
@@ -448,3 +449,22 @@ def test_bag_streaming_odom_parity_mode(tmp_path, capsys):
     assert rep["mode"] == "bag"
     assert rep["scans"] == 3
     assert rep["keyframes"] >= 1
+
+
+def test_bag_streaming_odom_drop_accounting(tmp_path, capsys):
+    """Scans without a matching odometry message are dropped by the sync
+    AND counted (and their buffered clouds freed): dropped_unmatched must
+    report the real drop count, not 0 (round-3 review finding)."""
+    import json
+
+    from fast_lio_sam_qn_tpu.run import main
+
+    path = str(tmp_path / "seq.bag")
+    _write_bag(path, with_odom=True, odom_skip={0})
+    rc = main(["--bag", path, "--preset", "sim", "--odom-topic",
+               "/Odometry", "--no-auto-save"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["mode"] == "bag"
+    assert rep["scans"] == 2
+    assert rep["dropped_unmatched"] == 1
