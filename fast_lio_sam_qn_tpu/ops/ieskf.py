@@ -128,7 +128,6 @@ def propagate(
     """Forward-propagate through the scan's IMU samples; returns the state at
     t_end, covariance, and the per-sample pose log for deskew."""
     dtype = P.dtype
-    k = imu_t.shape[0]
 
     def step(carry, inp):
         s, Pc, t_prev = carry
@@ -224,7 +223,21 @@ def deskew(
     any_valid = jnp.any(log.valid)
     t_i = jnp.where(has_prev, log.t[idx], t_abs)
     dt = jnp.maximum(t_abs - t_i, 0.0)
-    Rk, pk, vk, wk = log.R[idx], log.p[idx], log.v[idx], log.w[idx]
+    # extrapolate with the gyro of the interval the point falls IN: the
+    # propagation integrates (t_i, t_{i+1}] with sample i+1's measurement
+    # (log.w[i] is the gyro of the interval ENDING at t_i), so rotating
+    # forward from t_i must use the NEXT valid sample's w — using w[idx]
+    # lags one interval and is discontinuous at sample boundaries (~2.5
+    # mrad at 200 Hz under 0.5 rad/s^2 gyro change). Points past the last
+    # sample keep w[idx]: the tail segment propagates with the last
+    # measurement (propagate(), tail block).
+    gt = log.valid[None, :] & (log.t[None, :] > t_abs[:, None])     # (N, K)
+    score_n = jnp.where(gt, jnp.arange(k, dtype=jnp.int32)[None, :], k)
+    nidx = jnp.min(score_n, axis=1)
+    has_next = nidx < k
+    Rk, pk, vk = log.R[idx], log.p[idx], log.v[idx]
+    wk = jnp.where(has_next[:, None],
+                   log.w[jnp.minimum(nidx, k - 1)], log.w[idx])
     R_t = jnp.matmul(Rk, se3.so3_exp(wk * dt[:, None]), precision="highest")
     p_t = pk + vk * dt[:, None]
     p_b = _ptransform(points_l, R_li, t_li)
@@ -269,6 +282,39 @@ def _plane_correspondences(
     return n, resid, valid
 
 
+def _pose_rows(pts_b, s, n):
+    """Point-to-plane measurement rows, pose block only: H rows are
+    [ -n^T R hat(q) | n^T | 0... ] under a right-perturbation on R;
+    a^T hat(q) = (a x q)^T, so -n^T R hat(q) = (q x (R^T n))^T."""
+    Rtn = jnp.einsum("ji,nj->ni", s.R, n, precision="highest")
+    return jnp.concatenate([jnp.cross(pts_b, Rtn), n], axis=-1)  # (N, 6)
+
+
+def _gn_step(s, dx_acc, pts_b, n, resid, w, Pinv):
+    """One MAP Gauss-Newton step shared by both update backends:
+    A = H^T W H (6x6 pose block), b = H^T W r, plus the prior term
+    minimizing ||dx_acc + dx||_Pinv (error accumulated from the prior)."""
+    dtype = Pinv.dtype
+    h6 = _pose_rows(pts_b, s, n)
+    A6 = jnp.einsum("na,nb,n->ab", h6, h6, w, precision="highest")
+    b6 = jnp.einsum("na,n,n->a", h6, resid, w, precision="highest")
+    A = jnp.zeros((STATE_DIM, STATE_DIM), dtype).at[:6, :6].set(A6)
+    b = jnp.zeros((STATE_DIM,), dtype).at[:6].set(b6)
+    rhs = -(b + jnp.matmul(Pinv, dx_acc, precision="highest"))
+    dx = jnp.linalg.solve(A + Pinv, rhs)
+    return boxplus(s, dx), dx_acc + dx
+
+
+def _posterior_cov(s_fin, pts_b, n, w, Pinv):
+    """Posterior covariance of the MAP estimate at the converged state."""
+    dtype = Pinv.dtype
+    h6 = _pose_rows(pts_b, s_fin, n)
+    A6 = jnp.einsum("na,nb,n->ab", h6, h6, w, precision="highest")
+    A = jnp.zeros((STATE_DIM, STATE_DIM), dtype).at[:6, :6].set(A6)
+    P_new = jnp.linalg.inv(A + Pinv)
+    return 0.5 * (P_new + P_new.T)
+
+
 @functools.partial(jax.jit, static_argnames=("max_iter", "plane_k", "window"))
 def update(
     state: NavState,
@@ -297,38 +343,20 @@ def update(
             grid, pts_w, mask, plane_k, plane_threshold, window
         )
         w = valid.astype(dtype) / meas_var
-        # H rows: [ -n^T R hat(q) | n^T | 0... ] (right-perturbation on R);
-        # a^T hat(q) = (a x q)^T, so -n^T R hat(q) = (q x (R^T n))^T
-        Rtn = jnp.einsum("ji,nj->ni", s.R, n, precision="highest")
-        h_th = jnp.cross(pts_b, Rtn)
-        # A = H^T W H (only 6x6 pose block nonzero), b = H^T W r
-        h6 = jnp.concatenate([h_th, n], axis=-1)  # (N,6)
-        A6 = jnp.einsum("na,nb,n->ab", h6, h6, w, precision="highest")
-        b6 = jnp.einsum("na,n,n->a", h6, resid, w, precision="highest")
-        A = jnp.zeros((STATE_DIM, STATE_DIM), dtype).at[:6, :6].set(A6)
-        b = jnp.zeros((STATE_DIM,), dtype).at[:6].set(b6)
-        # prior term: minimize also ||dx_acc + dx||_Pinv (error from prior)
-        rhs = -(b + Pinv @ dx_acc)
-        dx = jnp.linalg.solve(A + Pinv, rhs)
-        s_new = boxplus(s, dx)
-        return (s_new, dx_acc + dx), jnp.sum(valid)
+        s_new, dx_acc = _gn_step(s, dx_acc, pts_b, n, resid, w, Pinv)
+        return (s_new, dx_acc), None
 
-    (s_fin, dx_tot), matches = jax.lax.scan(
+    (s_fin, _), _ = jax.lax.scan(
         body, (state0, jnp.zeros(STATE_DIM, dtype)), None, length=max_iter
     )
-    # posterior covariance of the MAP estimate
+    # posterior covariance + match count, both at the CONVERGED state
     pts_w = _ptransform(pts_b, s_fin.R, s_fin.p)
-    n, resid, valid = _plane_correspondences(
+    n, _, valid = _plane_correspondences(
         grid, pts_w, mask, plane_k, plane_threshold, window
     )
     w = valid.astype(dtype) / meas_var
-    Rtn = jnp.einsum("ji,nj->ni", s_fin.R, n, precision="highest")
-    h6 = jnp.concatenate([jnp.cross(pts_b, Rtn), n], axis=-1)
-    A6 = jnp.einsum("na,nb,n->ab", h6, h6, w, precision="highest")
-    A = jnp.zeros((STATE_DIM, STATE_DIM), dtype).at[:6, :6].set(A6)
-    P_new = jnp.linalg.inv(A + Pinv)
-    P_new = 0.5 * (P_new + P_new.T)
-    return s_fin, P_new, matches[-1]
+    P_new = _posterior_cov(s_fin, pts_b, n, w, Pinv)
+    return s_fin, P_new, jnp.sum(valid)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "window"))
@@ -371,24 +399,12 @@ def update_surfel(
         s, dx_acc = carry
         pts_w = _ptransform(pts_b, s.R, s.p)
         resid = jnp.sum(n * pts_w, axis=-1) + d_plane
-        Rtn = jnp.einsum("ji,nj->ni", s.R, n, precision="highest")
-        h6 = jnp.concatenate([jnp.cross(pts_b, Rtn), n], axis=-1)
-        A6 = jnp.einsum("na,nb,n->ab", h6, h6, w, precision="highest")
-        b6 = jnp.einsum("na,n,n->a", h6, resid, w, precision="highest")
-        A = jnp.zeros((STATE_DIM, STATE_DIM), dtype).at[:6, :6].set(A6)
-        b = jnp.zeros((STATE_DIM,), dtype).at[:6].set(b6)
-        rhs = -(b + Pinv @ dx_acc)
-        dx = jnp.linalg.solve(A + Pinv, rhs)
-        s_new = boxplus(s, dx)
-        return (s_new, dx_acc + dx), jnp.sum(valid)
+        s_new, dx_acc = _gn_step(s, dx_acc, pts_b, n, resid, w, Pinv)
+        return (s_new, dx_acc), None
 
-    (s_fin, dx_tot), matches = jax.lax.scan(
+    (s_fin, _), _ = jax.lax.scan(
         body, (state, jnp.zeros(STATE_DIM, dtype)), None, length=max_iter)
-    pts_w = _ptransform(pts_b, s_fin.R, s_fin.p)
-    Rtn = jnp.einsum("ji,nj->ni", s_fin.R, n, precision="highest")
-    h6 = jnp.concatenate([jnp.cross(pts_b, Rtn), n], axis=-1)
-    A6 = jnp.einsum("na,nb,n->ab", h6, h6, w, precision="highest")
-    A = jnp.zeros((STATE_DIM, STATE_DIM), dtype).at[:6, :6].set(A6)
-    P_new = jnp.linalg.inv(A + Pinv)
-    P_new = 0.5 * (P_new + P_new.T)
-    return s_fin, P_new, matches[-1]
+    P_new = _posterior_cov(s_fin, pts_b, n, w, Pinv)
+    # association is fixed across iterations, so the converged-state match
+    # count is simply the (constant) valid count
+    return s_fin, P_new, jnp.sum(valid)

@@ -183,9 +183,10 @@ def _between_residual(Ti, Tj, meas):
 
 def _factor_data(graph: GraphState, prior_var: jax.Array, odom_var: jax.Array):
     """Linearize all factors. Returns per-factor (i, j, r, Ji, Jj, w6, valid)
-    arrays with a unified layout: prior (1) + odom (N-1) + loops (L).
-    The prior is expressed as a between factor from a fixed virtual node
-    (index -1 mapped to scatter-dump) to node 0."""
+    arrays with a unified layout: odom (n_cap) + loops (l_cap) + prior (1)
+    — optimize()'s Huber loop-reweighting indexes against exactly this
+    order. The prior is expressed as a between factor from a fixed virtual
+    node (index -1 mapped to scatter-dump) to node 0."""
     n_cap = graph.capacity
     node_idx = jnp.arange(n_cap, dtype=jnp.int32)
 

@@ -60,8 +60,14 @@ def match_features(
     spat = jnp.linalg.norm(src_pts - dst_pts[jnp.clip(idx_sd, 0)], axis=-1)
     ok = mutual & (spat <= distance_threshold)
     score = jnp.where(ok, -d2_sd, -jnp.inf)
+    if max_corres > n_src:
+        # capacity contract (CLAUDE.md): out_cap > input pads; top_k would
+        # otherwise reject k > operand length at trace time
+        score = jnp.pad(score, (0, max_corres - n_src),
+                        constant_values=-jnp.inf)
     top_score, top_i = jax.lax.top_k(score, max_corres)
     valid = jnp.isfinite(top_score)
+    top_i = jnp.clip(top_i, 0, n_src - 1)   # padded picks are valid=False
     s = src_pts[top_i]
     d = dst_pts[jnp.clip(idx_sd[top_i], 0)]
     return s, d, valid
@@ -122,14 +128,27 @@ def gnc_rotation_yaw(
     closed form each GNC iteration. Returns (yaw, inlier_weights, converged).
     """
     c = s_pts.shape[0]
-    # ring TIMs over the masked set: pair each inlier with the next inlier.
-    # fixed-shape approach: roll by 1..3 to create 3c candidate pairs,
-    # masked to inlier&inlier.
+    # TIMs over the COMPACTED inlier set: a stable argsort brings inliers
+    # to the front in rank order, then inlier k pairs with inlier
+    # (k + r) mod c_inl for strides r in (1, 2) — c_inl ring TIMs per
+    # stride regardless of how sparsely the clique sits in the top-k rank
+    # order. (The previous roll-by-r construction paired SLOT k with slot
+    # k - r and produced ~zero usable TIMs when a ~10-inlier clique
+    # scattered over 200 slots, degenerating yaw to arctan2(0, 0) even
+    # though max_clique_inliers had found a consistent set.)
+    ordi = jnp.argsort(jnp.where(inliers, 0, 1).astype(jnp.int32),
+                       stable=True)
+    sp, dp = s_pts[ordi], d_pts[ordi]
+    c_inl = jnp.sum(inliers.astype(jnp.int32))
+    kk = jnp.arange(c, dtype=jnp.int32)
     vs, ws, ms = [], [], []
-    for r in (1, 2, 3):
-        vs.append(s_pts - jnp.roll(s_pts, r, axis=0))
-        ws.append(d_pts - jnp.roll(d_pts, r, axis=0))
-        ms.append(inliers & jnp.roll(inliers, r, axis=0))
+    for r in (1, 2):
+        nxt = jnp.where(kk + r >= c_inl, kk + r - jnp.maximum(c_inl, 1),
+                        kk + r)
+        nxt = jnp.clip(nxt, 0, c - 1)
+        vs.append(sp - sp[nxt])
+        ws.append(dp - dp[nxt])
+        ms.append((kk < c_inl) & (c_inl >= r + 1))
     v = jnp.concatenate(vs, 0)[:, :2]
     w = jnp.concatenate(ws, 0)[:, :2]
     m = jnp.concatenate(ms, 0)
@@ -180,7 +199,11 @@ def gnc_rotation_yaw(
     yaw, mu, wt, cost, it, done = jax.lax.while_loop(
         cond, body, (yaw0, mu0, wt0, jnp.float32(jnp.inf), jnp.int32(0),
                      jnp.bool_(False)))
-    converged = jnp.sum(wt > 0.5) >= 2
+    # >= 3 surviving TIMs: align() already requires >= 3 clique inliers,
+    # and with the compacted ring every inlier contributes TIMs, so a
+    # healthy estimate always clears this; 2 TIMs can leave yaw essentially
+    # unconstrained while still "converging"
+    converged = jnp.sum(wt > 0.5) >= 3
     return yaw, wt, converged
 
 

@@ -136,3 +136,33 @@ def test_quatro_then_gicp_fine():
     # happen at revisits (high overlap) where the 1.5 gate is meaningful;
     # here we only bound it loosely.
     assert float(fine.fitness) < 3.5
+
+
+def test_gnc_yaw_sparse_inliers_in_rank_order():
+    """~10 clique inliers scattered across 200 correspondence slots must
+    still yield usable TIMs (compacted ring pairing): the old roll-by-r
+    construction paired SLOT k with slot k-r and produced ~zero TIM pairs
+    at this density, degenerating yaw to arctan2(0,0)=0."""
+    rng = np.random.default_rng(4)
+    c = 200
+    yaw_true = 0.35
+    cy, sy = np.cos(yaw_true), np.sin(yaw_true)
+    R = np.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]],
+                 np.float32)
+    t = np.array([1.0, -2.0, 0.2], np.float32)
+    s_pts = rng.uniform(-10, 10, (c, 3)).astype(np.float32)
+    d_pts = s_pts @ R.T + t
+    # inliers: 10 isolated slots, never adjacent (no slot k with k-1/k-2/k-3
+    # also inlier, so every rolled pair is masked out under the old scheme)
+    inl = np.zeros(c, bool)
+    inl[::20] = True
+    assert inl.sum() == 10
+    # corrupt all non-inlier correspondences
+    d_pts[~inl] += rng.uniform(5, 20, (int((~inl).sum()), 3)).astype(
+        np.float32) * rng.choice([-1, 1], (int((~inl).sum()), 3))
+    yaw, wt, converged = quatro.gnc_rotation_yaw(
+        jnp.asarray(s_pts), jnp.asarray(d_pts), jnp.asarray(inl),
+        noise_bound=jnp.float32(0.3), gnc_factor=jnp.float32(1.4),
+        cost_diff_thr=jnp.float32(1e-4))
+    assert bool(converged)
+    assert abs(float(yaw) - yaw_true) < 0.01, float(yaw)

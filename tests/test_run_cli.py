@@ -228,14 +228,16 @@ def test_golden_sim_trajectory_regression(capsys):
     numerical regression in the LIO step or the loop stack cannot hide
     behind loose sanity bounds.
 
-    Recorded 2026-08-17 (r3): ate_rmse 0.0652 m, 34 keyframes, 6 loops
-    accepted of 12 attempts."""
+    Recorded 2026-08-18 (r3, post deskew-interval fix — the gyro used to
+    extrapolate inside an IMU interval now matches the sample the
+    propagation integrates that interval with): ate_rmse 0.0652 m, 35
+    keyframes, 5 loops accepted of 12 attempts."""
     from fast_lio_sam_qn_tpu.run import main
 
     rc = main(["--sim", "--n-scans", "240", "--no-auto-save"])
     assert rc == 0
     report = json.loads(capsys.readouterr().out)
-    assert report["keyframes"] == 34
+    assert report["keyframes"] == 35
     assert abs(report["ate_rmse_m"] - 0.0652) < 0.2 * 0.0652, report
     assert 4 <= report["loops_accepted"] <= 8, report
     assert report["loop_attempts"] == 12, report
