@@ -133,7 +133,11 @@ class FastLioSamQnPipeline:
                 self.odom_delta, self.last_odom_pose,
                 self.last_corrected_pose, self.last_kf_corrected, pose)
             self.last_odom_pose = pose
-            self.realtime_poses.append(np.asarray(corrected_current))
+            # ONE device pull per scan (CLAUDE.md one-dispatch rule):
+            # fetch the realtime pose and the keyframe-gate scalar in a
+            # single transfer instead of two blocking round-trips
+            corrected_np, dist_np = jax.device_get((corrected_current, dist))
+            self.realtime_poses.append(corrected_np)
 
         if not self.initialized:
             self._add_keyframe(pose, pose, cloud_body,
@@ -142,7 +146,7 @@ class FastLioSamQnPipeline:
             self.initialized = True
         else:
             # 2. keyframe gate on corrected poses (:498-501)
-            if float(dist) > self.cfg.keyframe_threshold:
+            if float(dist_np) > self.cfg.keyframe_threshold:
                 with self.profiler.span("key_add"):
                     self._add_keyframe(pose, corrected_current, cloud_body,
                                        cloud_mask, timestamp, first=False,
@@ -251,14 +255,28 @@ class FastLioSamQnPipeline:
         """Commit a registration-accepted loop only when its implied drift
         correction agrees with another recent accepted loop (see
         LoopClosureConfig.consensus_window). With the window set to 0 the
-        loop commits immediately (reference behavior)."""
+        loop commits immediately (reference behavior).
+
+        The loop MEASUREMENT is frozen HERE, at registration time — like
+        the reference computes it inside the loop callback
+        (fast_lio_sam_qn.cpp:224-233). pose_between is relative to the
+        corrected poses the registration clouds were built with; a
+        deferred (consensus-window) commit after an intervening
+        rewrite_corrected would otherwise compose it with shifted poses
+        and emit a factor off by the rewrite delta."""
+        # reference composition order: pose_from = reg.pose_between *
+        # query.corrected; meas = pose_from.between(closest.corrected)
+        pose_from = se3.compose(
+            pose_between, self.store.poses_corrected[query_idx])
+        pose_to = self.store.poses_corrected[closest_i]
+        meas = se3.pose_between(pose_from, pose_to)
         w = self.cfg.loop.consensus_window
         if w <= 0:
-            self._add_loop_factor(query_idx, closest_i, pose_between, score)
+            self._add_loop_factor(query_idx, closest_i, meas, score)
             return
         corr = np.asarray(pose_between)[:3, 3]
         entry = dict(query_idx=query_idx, closest_idx=closest_i,
-                     pose_between=pose_between, score=score, corr=corr,
+                     meas=meas, score=score, corr=corr,
                      committed=False)
         # drop stale pendings
         self._pending_loops = [
@@ -271,24 +289,18 @@ class FastLioSamQnPipeline:
             for p in agree:
                 if not p["committed"]:
                     self._add_loop_factor(p["query_idx"], p["closest_idx"],
-                                          p["pose_between"], p["score"])
+                                          p["meas"], p["score"])
                     p["committed"] = True
-            self._add_loop_factor(query_idx, closest_i, pose_between, score)
+            self._add_loop_factor(query_idx, closest_i, meas, score)
             entry["committed"] = True
         self._pending_loops.append(entry)
 
-    def _add_loop_factor(self, query_idx, closest_i, pose_between, score):
+    def _add_loop_factor(self, query_idx, closest_i, meas, score):
         if len(self.loop_idx_pairs) >= self.graph.loop_i.shape[0]:
             # amortized growth instead of a silent drop (SURVEY §5)
             new_cap = 2 * self.graph.loop_i.shape[0]
             self.graph = pgo.grow(self.graph, max_loops=new_cap)
             self.cfg.caps.max_loop_factors = new_cap
-        # loop BetweenFactor with the reference's composition order
-        # (:224-233): pose_from = reg.pose_between * query.corrected
-        pose_from = se3.compose(
-            pose_between, self.store.poses_corrected[query_idx])
-        pose_to = self.store.poses_corrected[closest_i]
-        meas = se3.pose_between(pose_from, pose_to)
         self.graph = pgo.add_loop_factor(
             self.graph, jnp.int32(query_idx), jnp.int32(closest_i),
             meas, score)
@@ -358,6 +370,15 @@ class FastLioSamQnPipeline:
         masks = self.store.cloud_masks[:n]
         flat = world.reshape(-1, 3)
         fmask = masks.reshape(-1)
+        # start at 2^21 voxels and escalate on saturation: a full output
+        # means the map may have been truncated (the downsample keeps a
+        # hash-ordered subset). Occupied voxels never exceed valid input
+        # points, so the escalation terminates. Export-only path — the
+        # occasional recompile at a larger static cap is fine.
         cap = min(flat.shape[0], 1 << 21)
-        pts, m = voxel.voxel_downsample(flat, fmask, res, out_cap=cap)
+        while True:
+            pts, m = voxel.voxel_downsample(flat, fmask, res, out_cap=cap)
+            if int(jnp.sum(m)) < cap or cap >= flat.shape[0]:
+                break
+            cap = min(flat.shape[0], cap * 2)
         return np.asarray(pts)[np.asarray(m)]

@@ -217,6 +217,9 @@ class ApproxTimeSync:
             if len(self._qb) > 1 and abs(self._qb[1][0] - t_a) < abs(t_b - t_a):
                 self._qb.pop(0)
                 continue
+            if len(self._qa) > 1 and abs(self._qa[1][0] - t_b) < abs(t_b - t_a):
+                self._qa.pop(0)
+                continue
             self._qa.pop(0)
             self._qb.pop(0)
             return ia, ib, t_a, t_b

@@ -91,6 +91,13 @@ int64_t flsq_read_pcd(const char* path, float* out, int64_t cap) {
     if (fields.empty() || n_points <= 0) return -1;
     if (counts.empty()) counts.assign(fields.size(), 1);
     if (counts.size() != fields.size()) return -1;
+    // only ascii and plain binary are decodable here; anything else
+    // (binary_compressed, truncated header) must error, not be read as
+    // raw records full of garbage
+    if (data_mode != "ascii" && data_mode != "binary") return -1;
+    if (data_mode == "binary" &&
+        (sizes.size() != fields.size() || types.size() != fields.size()))
+        return -1;
     int ix = -1, iy = -1, iz = -1, ii = -1;
     for (size_t i = 0; i < fields.size(); ++i) {
         if (fields[i] == "x") ix = (int)i;
@@ -115,7 +122,12 @@ int64_t flsq_read_pcd(const char* path, float* out, int64_t cap) {
         for (int64_t p = 0; p < n; ++p) {
             if (!std::getline(f, line)) return p;
             std::istringstream ss(line);
-            for (int i = 0; i < total_elems; ++i) ss >> vals[i];
+            bool ok = true;
+            for (int i = 0; i < total_elems; ++i)
+                if (!(ss >> vals[i])) { ok = false; break; }
+            // short/malformed data line: stop at the points decoded so
+            // far instead of silently duplicating the previous row
+            if (!ok) return p;
             out[4 * p + 0] = (float)vals[eoff[ix]];
             out[4 * p + 1] = (float)vals[eoff[iy]];
             out[4 * p + 2] = (float)vals[eoff[iz]];
@@ -129,6 +141,11 @@ int64_t flsq_read_pcd(const char* path, float* out, int64_t cap) {
     for (size_t i = 0; i < fields.size(); ++i) {
         offs[i] = stride;
         stride += sizes[i] * counts[i];
+    }
+    // consumed fields must be 4-byte floats (the memcpy below assumes
+    // it); a SIZE 8 / TYPE F double cloud would otherwise yield garbage
+    for (int idx : {ix, iy, iz, ii}) {
+        if (idx >= 0 && (sizes[idx] != 4 || types[idx] != 'F')) return -1;
     }
     std::vector<char> rec(stride);
     for (int64_t p = 0; p < n; ++p) {
@@ -294,6 +311,15 @@ int flsq_sync_pop(void* h, int64_t* ida, int64_t* idb, double* ta,
             double t_b2 = s->qb[1].first;
             if (std::abs(t_b2 - t_a) < std::abs(t_b - t_a)) {
                 s->qb.pop_front();
+                continue;
+            }
+        }
+        // symmetric lookahead: a later a may be closer to this b (without
+        // this, the pairing quality depended on which stream was denser)
+        if (s->qa.size() > 1) {
+            double t_a2 = s->qa[1].first;
+            if (std::abs(t_a2 - t_b) < std::abs(t_b - t_a)) {
+                s->qa.pop_front();
                 continue;
             }
         }

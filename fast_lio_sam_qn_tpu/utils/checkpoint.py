@@ -38,7 +38,7 @@ def save_checkpoint(pipeline, path: str, lio_state=None, extra=None):
         ],
         "pending_loops": [
             {"query_idx": p["query_idx"], "closest_idx": p["closest_idx"],
-             "pose_between": np.asarray(p["pose_between"]).tolist(),
+             "meas": np.asarray(p["meas"]).tolist(),
              "score": float(p["score"]), "corr": p["corr"].tolist(),
              "committed": p["committed"]}
             for p in pipeline._pending_loops
@@ -133,10 +133,12 @@ def load_checkpoint(pipeline, path: str, lio_template=None):
     pipeline.loop_events = [LoopEvent(*e) for e in host["loop_events"]]
     pipeline._pending_loops = [
         {"query_idx": p["query_idx"], "closest_idx": p["closest_idx"],
-         "pose_between": jnp.asarray(p["pose_between"], jnp.float32),
+         "meas": jnp.asarray(p["meas"], jnp.float32),
          "score": jnp.float32(p["score"]),
          "corr": np.asarray(p["corr"]), "committed": p["committed"]}
-        for p in host.get("pending_loops", [])]
+        for p in host.get("pending_loops", [])
+        if "meas" in p]  # pre-r3 checkpoints stored pose_between; their
+        # pending (uncommitted) loops cannot be replayed faithfully — drop
     pipeline.last_odom_pose = jnp.asarray(z["last_odom_pose"])
     pipeline.odom_delta = jnp.asarray(z["odom_delta"])
     pipeline.last_corrected_pose = jnp.asarray(z["last_corrected_pose"])

@@ -98,3 +98,47 @@ def test_python_fallback_sync_matches_native():
     while (p := b.pop()) is not None:
         pb.append(p)
     assert pa == pb
+
+
+def test_read_pcd_rejects_undecodable(tmp_path):
+    """binary_compressed / double-typed / short-ascii PCDs must error or
+    stop, never silently return garbage (round-3 review findings)."""
+    hdr = ("VERSION .7\nFIELDS x y z intensity\nSIZE {s} {s} {s} {s}\n"
+           "TYPE {t} {t} {t} {t}\nCOUNT 1 1 1 1\nWIDTH 3\nHEIGHT 1\n"
+           "POINTS 3\nDATA {mode}\n")
+    # binary_compressed: unsupported -> -1 (read_scan raises)
+    p1 = tmp_path / "c.pcd"
+    p1.write_bytes(hdr.format(s=4, t="F", mode="binary_compressed").encode()
+                   + b"\x00" * 64)
+    with pytest.raises(IOError):
+        native.read_scan(str(p1))
+    # SIZE 8 / TYPE F (doubles): the 4-byte memcpy would produce garbage
+    p2 = tmp_path / "d.pcd"
+    p2.write_bytes(hdr.format(s=8, t="F", mode="binary").encode()
+                   + np.zeros(12, np.float64).tobytes())
+    with pytest.raises(IOError):
+        native.read_scan(str(p2))
+    # ascii with a truncated final line: stop at the rows decoded so far
+    p3 = tmp_path / "t.pcd"
+    p3.write_text(hdr.format(s=4, t="F", mode="ascii")
+                  + "1 2 3 0.5\n4 5 6 0.5\n7 8\n")
+    got = native.read_scan(str(p3))
+    assert got.shape[0] == 2
+    np.testing.assert_allclose(got[:, 0], [1.0, 4.0])
+
+
+def test_approx_time_sync_symmetric_lookahead():
+    """A later a closer to the current b must win the pairing (the
+    lookahead used to be b-side only, so results depended on which stream
+    was denser)."""
+    for force_py in (False, True):
+        s = native.ApproxTimeSync(slop=0.2)
+        if force_py:
+            s._h = None
+            s._qa, s._qb = [], []
+        s.push_a(9.90, 0)
+        s.push_a(10.00, 1)
+        s.push_b(10.01, 0)
+        ia, ib, ta, tb = s.pop()
+        assert (ia, ib) == (1, 0), (force_py, ia, ib)
+        s.close()
