@@ -110,3 +110,45 @@ def test_update_tightens_pose_covariance():
     assert float(jnp.linalg.norm(nav1.p - nav.p)) < 0.02
     rot_err = se3.so3_log(jnp.matmul(nav.R.T, nav1.R))
     assert float(jnp.linalg.norm(rot_err)) < 0.01
+
+
+def test_deskew_continuous_at_sample_boundaries():
+    """The interpolated pose must be continuous across IMU sample times and
+    consistent with the propagation: R(t_i^-) extrapolated from t_{i-1}
+    with the gyro propagate() integrates that interval with must land on
+    the logged R(t_i) (round-3 review: the extrapolation used the PREVIOUS
+    interval's gyro, giving ~mrad jumps under angular acceleration)."""
+    rng = np.random.default_rng(2)
+    k = 8
+    dt = 0.005
+    ts = (np.arange(k) + 1) * dt
+    # strongly time-varying gyro so the lagged choice is visible
+    gyro = np.stack([np.linspace(0.2, 2.0, k),
+                     np.linspace(-1.0, 1.0, k),
+                     np.linspace(0.5, -0.5, k)], -1).astype(np.float32)
+    acc = np.tile(np.array([0.0, 0.0, 9.81], np.float32), (k, 1))
+    nav = ieskf.NavState(
+        R=jnp.eye(3), p=jnp.zeros(3), v=jnp.zeros(3),
+        bg=jnp.zeros(3), ba=jnp.zeros(3),
+        grav=jnp.array([0.0, 0.0, -9.81]))
+    P0 = jnp.eye(ieskf.STATE_DIM) * 1e-4
+    noise = jnp.array([1e-4, 1e-3, 1e-6, 1e-6])
+    s_end, _, log = ieskf.propagate(
+        nav, P0, jnp.asarray(ts), jnp.asarray(gyro), jnp.asarray(acc),
+        jnp.ones(k, bool), jnp.float32(0.0), jnp.float32(ts[-1]),
+        noise)
+    # a body point deskewed at t_i - eps vs exactly t_i must agree to
+    # O(eps); with the lagged gyro the mismatch is O(dgyro * dt) instead
+    eps = 1e-5
+    i = 4
+    pt = jnp.asarray([[10.0, 0.0, 0.0]], jnp.float32)
+    q_before = ieskf.deskew(
+        pt, jnp.asarray([ts[i] - eps], jnp.float32), jnp.ones(1, bool),
+        log, s_end, jnp.float32(0.0), jnp.eye(3), jnp.zeros(3))
+    q_at = ieskf.deskew(
+        pt, jnp.asarray([ts[i]], jnp.float32), jnp.ones(1, bool),
+        log, s_end, jnp.float32(0.0), jnp.eye(3), jnp.zeros(3))
+    jump = float(jnp.linalg.norm(q_before - q_at))
+    # lagged-gyro jump at this workload is ~|dw|*dt*|p| ~ 2e-3 m; the
+    # consistent choice leaves only O(eps) + float noise
+    assert jump < 2e-4, jump
