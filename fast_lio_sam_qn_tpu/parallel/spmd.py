@@ -47,6 +47,17 @@ def sharded_gicp_align(
     src/src_mask/src_cov are sharded along their leading axis (must divide
     the mesh size); dst stays replicated. Returns (T, num_iters).
     """
+    fn = _sharded_gicp_jit(mesh, axis, int(max_iter), float(max_corr_dist),
+                           float(trans_eps))
+    return fn(src, src_mask, src_cov, dst, dst_mask, dst_cov, init_T)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_gicp_jit(mesh, axis, max_iter, max_corr_dist, trans_eps):
+    """Jitted program built ONCE per (mesh, statics): wrapping jax.jit
+    around a fresh closure per call would miss the trace cache and
+    re-trace the whole GN loop every invocation (the pitfall
+    LoopClosure._sharded_batch_cache documents)."""
     max_d2 = max_corr_dist * max_corr_dist
 
     @functools.partial(
@@ -96,8 +107,7 @@ def sharded_gicp_align(
             (T0, jnp.int32(0), jnp.float32(jnp.inf), jnp.bool_(False)))
         return T, it
 
-    return jax.jit(run)(src, src_mask, src_cov, dst, dst_mask, dst_cov,
-                        init_T)
+    return jax.jit(run)
 
 
 # ---------------------------------------------------------------------------
@@ -112,6 +122,12 @@ def batched_gicp_align(
 
     Returns (transforms (B,4,4), fitness (B,), converged (B,)).
     """
+    fn = _batched_gicp_jit(mesh, axis, int(max_iter), float(max_corr_dist))
+    return fn(src_b, smask_b, dst_b, dmask_b, init_T_b)
+
+
+@functools.lru_cache(maxsize=None)
+def _batched_gicp_jit(mesh, axis, max_iter, max_corr_dist):
     def one(src, smask, dst, dmask, T0):
         res = gicp.align(src, smask, dst, dmask, init_T=T0,
                          max_iter=max_iter, max_corr_dist=max_corr_dist,
@@ -119,10 +135,9 @@ def batched_gicp_align(
         return res.transform, res.fitness, res.converged
 
     sharding = NamedSharding(mesh, P(axis))
-    fn = jax.jit(jax.vmap(one),
-                 in_shardings=(sharding,) * 5,
-                 out_shardings=(sharding, sharding, sharding))
-    return fn(src_b, smask_b, dst_b, dmask_b, init_T_b)
+    return jax.jit(jax.vmap(one),
+                   in_shardings=(sharding,) * 5,
+                   out_shardings=(sharding, sharding, sharding))
 
 
 # ---------------------------------------------------------------------------
@@ -138,8 +153,12 @@ def pgo_optimize_sharded(
     Inputs are the per-factor arrays (as produced by ops.pgo._factor_data),
     sharded along the factor axis; poses/active replicated. Returns the
     replicated tangent update (N, 6)."""
-    n_cap = poses.shape[0]
+    fn = _pgo_sharded_jit(mesh, axis, int(pcg_iters), int(poses.shape[0]))
+    return fn(idx_i, idx_j, r, Ji, Jj, w6, valid, active)
 
+
+@functools.lru_cache(maxsize=None)
+def _pgo_sharded_jit(mesh, axis, pcg_iters, n_cap):
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
@@ -203,7 +222,7 @@ def pgo_optimize_sharded(
         x, *_ = jax.lax.fori_loop(0, pcg_iters, body, (x, rr, z, p, rz))
         return x
 
-    return jax.jit(solve)(idx_i, idx_j, r, Ji, Jj, w6, valid, active)
+    return jax.jit(solve)
 
 
 # ---------------------------------------------------------------------------

@@ -111,8 +111,9 @@ def read_scan(path: str, cap: int = 1 << 18) -> np.ndarray:
 
         if path.endswith(".bin"):
             return pyio.read_velodyne_bin(path)
-        pts = pyio.load_pcd(path)
-        return np.concatenate([pts, np.zeros((len(pts), 1), np.float32)], -1)
+        # with_intensity keeps the fallback consistent with the native
+        # decoder (zero-filling it silently dropped the channel)
+        return pyio.load_pcd(path, with_intensity=True)
     buf = np.empty((cap, 4), np.float32)
     n = lib.flsq_read_velodyne_bin(
         path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

@@ -243,9 +243,19 @@ def decode_pointcloud2(buf: bytes, timestamp_unit: int = -1):
     n = height * width
     if n == 0 or point_step == 0:
         return stamp, np.zeros((0, 4), np.float32), np.zeros(0, np.float32)
-    raw = np.frombuffer(data, np.uint8)[:n * point_step]
-    n = len(raw) // point_step
-    raw = raw[:n * point_step].reshape(n, point_step)
+    flat = np.frombuffer(data, np.uint8)
+    if height > 1 and row_step > width * point_step:
+        # organized cloud with per-row padding: slice each row by
+        # row_step before concatenating, or every point after row 0
+        # shifts by the pad and decodes as garbage
+        rows = min(height, len(flat) // row_step)
+        raw = flat[: rows * row_step].reshape(rows, row_step)
+        raw = raw[:, : width * point_step].reshape(rows * width, point_step)
+        n = raw.shape[0]
+    else:
+        raw = flat[:n * point_step]
+        n = len(raw) // point_step
+        raw = raw[:n * point_step].reshape(n, point_step)
 
     def col(name, with_dtype=False):
         for fname, off, dtype, cnt in fields:
@@ -300,15 +310,26 @@ def _rel_time_scale(fname: str, dt: np.dtype, rel: np.ndarray,
         # velodyne 'time' / livox 'time_offset' are float32 s; hesai
         # 'timestamp' is float64 absolute s (already min-normalized here)
         return 1.0
+    # value-range fallback, banded for typical 0.01-1 s sweeps:
+    # s <= 10 < ms <= 5e3 < us <= 5e6 < ns (a ms-unit sweep lands at
+    # 10-1000, never in the old us band that mis-scaled it 1000x)
     mx = float(rel.max()) if len(rel) else 0.0
-    scale = 1.0 if mx <= 10.0 else (1e-9 if mx > 1e6 else 1e-6)
+    if mx <= 10.0:
+        scale = 1.0
+    elif mx <= 5e3:
+        scale = 1e-3
+    elif mx <= 5e6:
+        scale = 1e-6
+    else:
+        scale = 1e-9
     import logging
 
     logging.getLogger(__name__).warning(
         "per-point time field %r (%s, max %.3g) has no known unit "
         "convention; guessing %s — set preprocess/timestamp_unit to "
         "override", fname, dt, mx,
-        {1.0: "seconds", 1e-6: "microseconds", 1e-9: "nanoseconds"}[scale])
+        {1.0: "seconds", 1e-3: "milliseconds", 1e-6: "microseconds",
+         1e-9: "nanoseconds"}[scale])
     return scale
 
 
@@ -329,7 +350,10 @@ def decode_odometry(buf: bytes):
     _, i = _read_string(buf, i)  # child_frame_id
     px, py, pz, qx, qy, qz, qw = struct.unpack_from("<7d", buf, i)
     T = np.eye(4)
-    # quaternion -> rotation (w last, ROS convention)
+    # quaternion -> rotation (w last, ROS convention). Deliberately NOT
+    # routed through ops/se3.quat_to_rot: this is the host-side f64
+    # decode path and must not pay a jax dispatch (or f32 rounding) per
+    # message; parity with se3 is covered by the decoder round-trip test
     n = qx * qx + qy * qy + qz * qz + qw * qw
     s = 0.0 if n == 0 else 2.0 / n
     T[0, 0] = 1 - s * (qy * qy + qz * qz)

@@ -52,8 +52,11 @@ def save_pcd(path: str, points: np.ndarray, intensity: Optional[np.ndarray] = No
             f.write(f"{p[0]:.9g} {p[1]:.9g} {p[2]:.9g} {i:.9g}\n")
 
 
-def load_pcd(path: str) -> np.ndarray:
-    """Reads ASCII or binary PCD; returns (N, 3) xyz float32."""
+def load_pcd(path: str, with_intensity: bool = False) -> np.ndarray:
+    """Reads ASCII or binary PCD; returns (N, 3) xyz float32, or (N, 4)
+    xyzi when with_intensity is True (zero-filled if the file has no
+    intensity field). Raises ValueError for undecodable DATA modes
+    (binary_compressed etc.) rather than decoding garbage."""
     with open(path, "rb") as f:
         header = {}
         fields = []
@@ -68,9 +71,17 @@ def load_pcd(path: str) -> np.ndarray:
             if key == "DATA":
                 mode = val
                 break
+        if mode not in ("ascii", "binary"):
+            raise ValueError(f"{path}: unsupported PCD DATA mode {mode!r}")
         n = int(header["POINTS"])
         sizes = [int(s) for s in header["SIZE"].split()]
         types = header["TYPE"].split()
+        out_names = ("x", "y", "z", "intensity") if with_intensity \
+            else ("x", "y", "z")
+        width = 4 if with_intensity else 3
+        if n == 0:
+            return np.zeros((0, width), np.float32)
+        has_i = "intensity" in fields
         # PCD COUNT: elements per field (default 1). COUNT>1 fields (PCL '_'
         # padding, histograms) change the record stride; ignoring them
         # silently decodes garbage coordinates.
@@ -81,20 +92,28 @@ def load_pcd(path: str) -> np.ndarray:
             data = np.loadtxt(f, dtype=np.float32, max_rows=n)
             if data.ndim == 1:
                 data = data[None]
-        else:  # binary
-            formats = []
-            for t, s, c in zip(types, sizes, counts):
-                fmt = f"{t.lower()}{s}"
-                formats.append(fmt if c == 1 else (fmt, (c,)))
-            dtype = np.dtype({"names": fields, "formats": formats})
-            raw = np.frombuffer(f.read(n * dtype.itemsize), dtype=dtype, count=n)
             cols = []
-            for name in ("x", "y", "z"):
+            for name in out_names:
+                if name == "intensity" and not has_i:
+                    cols.append(np.zeros(data.shape[0], np.float32))
+                else:
+                    cols.append(data[:, int(eoff[fields.index(name)])])
+            return np.stack(cols, -1).astype(np.float32)
+        # binary
+        formats = []
+        for t, s, c in zip(types, sizes, counts):
+            fmt = f"{t.lower()}{s}"
+            formats.append(fmt if c == 1 else (fmt, (c,)))
+        dtype = np.dtype({"names": fields, "formats": formats})
+        raw = np.frombuffer(f.read(n * dtype.itemsize), dtype=dtype, count=n)
+        cols = []
+        for name in out_names:
+            if name == "intensity" and not has_i:
+                cols.append(np.zeros(len(raw), np.float32))
+            else:
                 col = raw[name]
                 cols.append(col[:, 0] if col.ndim > 1 else col)
-            return np.stack(cols, -1).astype(np.float32)
-        ix, iy, iz = (int(eoff[fields.index(a)]) for a in ("x", "y", "z"))
-        return data[:, [ix, iy, iz]].astype(np.float32)
+        return np.stack(cols, -1).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------

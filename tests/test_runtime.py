@@ -142,3 +142,30 @@ def test_approx_time_sync_symmetric_lookahead():
         ia, ib, ta, tb = s.pop()
         assert (ia, ib) == (1, 0), (force_py, ia, ib)
         s.close()
+
+
+def test_load_pcd_python_fallback_parity(tmp_path):
+    """utils.io.load_pcd: intensity round-trip (the native-less read_scan
+    fallback used to zero-fill it), empty-cloud round-trip, and rejection
+    of binary_compressed instead of decoding garbage."""
+    rng = np.random.default_rng(3)
+    pts = rng.normal(0, 5, (40, 3)).astype(np.float32)
+    inten = rng.random(40).astype(np.float32)
+    p = str(tmp_path / "a.pcd")
+    io.save_pcd(p, pts, inten)
+    xyzi = io.load_pcd(p, with_intensity=True)
+    np.testing.assert_allclose(xyzi[:, :3], pts, atol=1e-5)
+    np.testing.assert_allclose(xyzi[:, 3], inten, atol=1e-5)
+    # empty cloud round-trips
+    p0 = str(tmp_path / "e.pcd")
+    io.save_pcd(p0, np.zeros((0, 3), np.float32))
+    assert io.load_pcd(p0).shape == (0, 3)
+    assert io.load_pcd(p0, with_intensity=True).shape == (0, 4)
+    # binary_compressed is rejected
+    pc = str(tmp_path / "c.pcd")
+    with open(p, "rb") as f:
+        content = f.read().replace(b"DATA ascii", b"DATA binary_compressed")
+    with open(pc, "wb") as f:
+        f.write(content)
+    with pytest.raises(ValueError):
+        io.load_pcd(pc)
