@@ -121,11 +121,15 @@ def set_src_and_dst_cloud(
 
 
 # Pallas kernels with SMEM operands (the banded kNN keep bitmap, the
-# streaming-FPFH tile bboxes) are interpret-tested under vmap but not yet
-# chip-proven in a BATCHED (vmapped) Mosaic lowering; until they are, the
-# batched loop-closure paths use the semantically-identical unbanded /
+# streaming-FPFH tile bboxes) produce WRONG results in a BATCHED (vmapped)
+# Mosaic lowering on the real chip: tools/prove_vmap_kernels.py, run on
+# v5e (round 3), measured corrupted NN distances/indices from the banded
+# kNN and FPFH descriptors off by up to 4.0 (interpret mode agrees with
+# the per-item loop; only the on-chip vmapped lowering diverges).  This
+# guard is therefore load-bearing, not conservatism: the batched
+# loop-closure paths MUST use the semantically-identical unbanded /
 # XLA-fallback variants (spmd.batched_gicp_align makes the same choice).
-# Flip to True after an on-chip vmapped-parity run.
+# Only flip to True if a future on-chip prove_vmap_kernels run passes.
 VMAP_PRUNED_KERNELS_PROVEN = False
 
 

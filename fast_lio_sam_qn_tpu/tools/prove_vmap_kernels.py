@@ -12,6 +12,14 @@ default-precision descriptor mass) agreement with the per-item loop. If
 every check prints OK, flip VMAP_PRUNED_KERNELS_PROVEN to True and rerun
 bench.py + the loop-closure tests.
 
+RESULT (round 3, v5e): **FAIL on every check** — the vmapped Mosaic
+lowering corrupts the banded kNN's d2/idx on all batch items and puts up
+to 4.0 absolute error on FPFH descriptors, while interpret mode under
+vmap matches the per-item loop exactly.  The XLA-fallback guard in
+models/loop_closure.py is therefore load-bearing; keep
+VMAP_PRUNED_KERNELS_PROVEN = False unless a rerun of this proof passes
+(e.g. after a jax/Mosaic upgrade).
+
 Usage: python -u -m fast_lio_sam_qn_tpu.tools.prove_vmap_kernels
 """
 from __future__ import annotations
