@@ -120,17 +120,22 @@ def set_src_and_dst_cloud(
     return src, dst
 
 
-# Pallas kernels with SMEM operands (the banded kNN keep bitmap, the
-# streaming-FPFH tile bboxes) produce WRONG results in a BATCHED (vmapped)
-# Mosaic lowering on the real chip: tools/prove_vmap_kernels.py, run on
-# v5e (round 3), measured corrupted NN distances/indices from the banded
-# kNN and FPFH descriptors off by up to 4.0 (interpret mode agrees with
-# the per-item loop; only the on-chip vmapped lowering diverges).  This
-# guard is therefore load-bearing, not conservatism: the batched
-# loop-closure paths MUST use the semantically-identical unbanded /
-# XLA-fallback variants (spmd.batched_gicp_align makes the same choice).
-# Only flip to True if a future on-chip prove_vmap_kernels run passes.
-VMAP_PRUNED_KERNELS_PROVEN = False
+# Mosaic's own vmap batching of the SMEM-operand Pallas kernels (the
+# banded kNN keep bitmap, the streaming-FPFH tile bboxes) produces WRONG
+# results on the real chip — it gives every block a leading singleton
+# axis, and that lowering corrupts NN distances/indices and puts up to
+# 4.0 absolute error on FPFH descriptors (v5e, round 3).  The kernels
+# therefore define custom_vmap rules (ops/pallas_knn._banded_caller,
+# ops/fpfh_stream._stream_caller) that dispatch to a natively
+# GRID-BATCHED lowering instead: batch becomes the leading grid
+# dimension, carried purely by 2-D index maps, so the kernel body is the
+# exact chip-proven single-cloud kernel.  tools/prove_vmap_kernels.py
+# re-run on v5e (round 3) passes every check with the rules in place —
+# the batched loop-closure paths now use the SAME banded / streaming-TPU
+# kernels as the single-candidate path.  If a future refactor removes
+# the custom_vmap rules, re-run the proof before trusting vmapped
+# kernels on chip.
+VMAP_PRUNED_KERNELS_PROVEN = True
 
 
 class LoopClosure:

@@ -98,7 +98,13 @@ def _moments_kernel(n_db: int, td: int, r2a: float, r2b: float):
     cols 0-9 for r2a (normal estimation), 10-19 for r2b (Nano-GICP plane
     covariances — a tighter, k=15-scale neighborhood; 0.9 m covariances
     over-smooth the planes and open a point-to-plane slide valley in the
-    GICP fine stage).  One shared d2 block, two mask matmuls."""
+    GICP fine stage).  One shared d2 block, two mask matmuls.
+
+    The same kernel serves the batched lowering: batch is flattened into
+    the operands' row axes by the index maps alone (_stream_caller), so
+    every ref stays 2-D — Mosaic miscompiles these kernels when blocks
+    carry a leading singleton axis (chip-measured,
+    tools/prove_vmap_kernels.py)."""
     n_tiles = n_db // td
     r2max = max(r2a, r2b)
 
@@ -310,10 +316,6 @@ def _pad_q(arr, m_pad):
     return jnp.pad(arr, ((0, m_pad - arr.shape[0]), (0, 0)))
 
 
-_QSPEC3 = pl.BlockSpec((3, TQ), lambda i: (0, i), memory_space=pltpu.VMEM)
-_QSPEC1 = pl.BlockSpec((1, TQ), lambda i: (0, i), memory_space=pltpu.VMEM)
-
-
 def _dbspec(rows, n_pad):
     return pl.BlockSpec((rows, n_pad), lambda i: (0, 0),
                         memory_space=pltpu.VMEM)
@@ -329,6 +331,107 @@ def _qv_row(mask, m_pad):
                    )[None, :]
 
 
+# operand signatures per kernel: 'q' = query-blocked (rows, TQ) slices,
+# 'db' = full db-resident (rows, n_pad), 'bbox' = the (8, n_tiles) SMEM
+# table.  Shared by the unbatched and grid-batched pallas_call builders.
+_KERNELS = {
+    "moments": (_moments_kernel, 20,
+                (("q", 3), ("q", 1), ("q", 1), ("db", 3), ("db", 1),
+                 ("bbox",))),
+    "spfh": (_spfh_kernel, FPFH_DIM + 1,
+             (("q", 3), ("q", 1), ("q", 1), ("q", 1), ("q", 3), ("db", 3),
+              ("db", 3), ("db", 1), ("bbox",))),
+    "agg": (_fpfh_agg_kernel, FPFH_DIM + 1,
+            (("q", 3), ("q", 1), ("q", 1), ("q", 1), ("db", 3), ("db", 1),
+             ("db", FPFH_DIM), ("bbox",))),
+}
+
+
+@functools.lru_cache(maxsize=None)
+def _stream_caller(which: str, r_args: tuple, td: int, interpret: bool):
+    """custom_vmap entry for one streaming kernel's pallas_call: unbatched
+    calls run the plain kernel; under jax.vmap the rule dispatches to the
+    natively GRID-BATCHED kernel (batch = leading grid dim) instead of
+    letting Mosaic batch the SMEM-operand kernel — that vmapped lowering
+    is chip-DISPROVEN (tools/prove_vmap_kernels.py, models/loop_closure.py).
+    Cached per static config so the custom_vmap object is reused."""
+    factory, n_out, sig = _KERNELS[which]
+
+    @jax.custom_batching.custom_vmap
+    def call(*ops):
+        mp = ops[0].shape[1]
+        n_pad = next(o for o, s in zip(ops, sig) if s[0] == "db").shape[1]
+        in_specs = []
+        for s in sig:
+            if s[0] == "q":
+                in_specs.append(pl.BlockSpec(
+                    (s[1], TQ), lambda i: (0, i), memory_space=pltpu.VMEM))
+            elif s[0] == "db":
+                in_specs.append(_dbspec(s[1], n_pad))
+            else:
+                in_specs.append(_bbox_spec(n_pad, td))
+        return pl.pallas_call(
+            factory(n_pad, td, *r_args),
+            grid=(mp // TQ,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((TQ, n_out), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((mp, n_out), jnp.float32),
+            interpret=interpret,
+        )(*ops)
+
+    @call.def_vmap
+    def _batched_rule(axis_size, in_batched, *ops):
+        ops = [o if b else jnp.broadcast_to(o, (axis_size,) + o.shape)
+               for o, b in zip(ops, in_batched)]
+        mp = ops[0].shape[2]
+        n_pad = next(o for o, s in zip(ops, sig) if s[0] == "db").shape[2]
+        nblk = mp // TQ
+        # Batch is carried purely by the index maps so every ref stays 2-D
+        # and the kernel body is the exact chip-proven single-cloud kernel
+        # (Mosaic miscompiles these kernels when blocks carry a leading
+        # singleton axis — chip-measured, tools/prove_vmap_kernels.py).
+        # Mosaic's block rule (sublane dim divisible by 8 or equal to the
+        # array dim) forces the layout per operand: wide VMEM operands are
+        # LANE-flattened ((B, r, n) -> (r, B*n), block sublane r == array
+        # dim r), the output is ROW-flattened (block sublane TQ % 8 == 0),
+        # and the SMEM bbox table's 8 rows satisfy the rule row-flattened.
+        in_specs = []
+        flat = []
+        for o, s in zip(ops, sig):
+            if s[0] == "q":
+                in_specs.append(pl.BlockSpec(
+                    (s[1], TQ), lambda b, i: (0, b * nblk + i),
+                    memory_space=pltpu.VMEM))
+                flat.append(jnp.transpose(o, (1, 0, 2)).reshape(
+                    s[1], axis_size * mp))
+            elif s[0] == "db":
+                in_specs.append(pl.BlockSpec(
+                    (s[1], n_pad), lambda b, i: (0, b),
+                    memory_space=pltpu.VMEM))
+                flat.append(jnp.transpose(o, (1, 0, 2)).reshape(
+                    s[1], axis_size * n_pad))
+            else:
+                in_specs.append(pl.BlockSpec(
+                    (8, n_pad // td), lambda b, i: (b, 0),
+                    memory_space=pltpu.SMEM))
+                flat.append(o.reshape(axis_size * 8, n_pad // td))
+        out = pl.pallas_call(
+            factory(n_pad, td, *r_args),
+            grid=(axis_size, nblk),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((TQ, n_out),
+                                   lambda b, i: (b * nblk + i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((axis_size * mp, n_out),
+                                           jnp.float32),
+            interpret=interpret,
+        )(*flat)
+        return out.reshape(axis_size, mp, n_out), True
+
+    return call
+
+
 def _moments_tpu(points, mask, radius: float, cov_radius: float,
                  interpret: bool = False, td: int = TD):
     m = points.shape[0]
@@ -337,16 +440,8 @@ def _moments_tpu(points, mask, radius: float, cov_radius: float,
     bbox = _tile_bboxes(points, mask, n_pad, td)
     m_pad = -(-m // TQ) * TQ
     q = _pad_q(points, m_pad)
-    out = pl.pallas_call(
-        _moments_kernel(n_pad, td, radius * radius,
-                        cov_radius * cov_radius),
-        grid=(m_pad // TQ,),
-        in_specs=[_QSPEC3, _QSPEC1, _QSPEC1, _dbspec(3, n_pad),
-                  _dbspec(1, n_pad), _bbox_spec(n_pad, td)],
-        out_specs=pl.BlockSpec((TQ, 20), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, 20), jnp.float32),
-        interpret=interpret,
+    out = _stream_caller(
+        "moments", (radius * radius, cov_radius * cov_radius), td, interpret
     )(q.T, jnp.sum(q * q, -1)[None, :], _qv_row(mask, m_pad), dbT, dd, bbox)
     return out[:m]
 
@@ -449,18 +544,9 @@ def _spfh_tpu(points, mask, normals, n_valid, radius: float,
     qn = _pad_q(normals, m_pad)
     qidx = jnp.arange(m_pad, dtype=jnp.int32)[None, :]
     bbox = _tile_bboxes(points, mask & n_valid, n_pad, td)
-    out = pl.pallas_call(
-        _spfh_kernel(n_pad, td, radius * radius),
-        grid=(m_pad // TQ,),
-        in_specs=[_QSPEC3, _QSPEC1, _QSPEC1, _QSPEC1, _QSPEC3,
-                  _dbspec(3, n_pad), _dbspec(3, n_pad), _dbspec(1, n_pad),
-                  _bbox_spec(n_pad, td)],
-        out_specs=pl.BlockSpec((TQ, FPFH_DIM + 1), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, FPFH_DIM + 1), jnp.float32),
-        interpret=interpret,
-    )(q.T, jnp.sum(q * q, -1)[None, :], _qv_row(mask, m_pad), qidx, qn.T,
-      dbT, dbnT, dd, bbox)
+    out = _stream_caller("spfh", (radius * radius,), td, interpret)(
+        q.T, jnp.sum(q * q, -1)[None, :], _qv_row(mask, m_pad), qidx, qn.T,
+        dbT, dbnT, dd, bbox)
     return out[:m]
 
 
@@ -501,18 +587,9 @@ def _fpfh_agg_tpu(points, mask, n_valid, spfh, radius: float,
     q = _pad_q(points, m_pad)
     qidx = jnp.arange(m_pad, dtype=jnp.int32)[None, :]
     bbox = _tile_bboxes(points, mask & n_valid, n_pad, td)
-    out = pl.pallas_call(
-        _fpfh_agg_kernel(n_pad, td, radius * radius),
-        grid=(m_pad // TQ,),
-        in_specs=[_QSPEC3, _QSPEC1, _QSPEC1, _QSPEC1, _dbspec(3, n_pad),
-                  _dbspec(1, n_pad), _dbspec(FPFH_DIM, n_pad),
-                  _bbox_spec(n_pad, td)],
-        out_specs=pl.BlockSpec((TQ, FPFH_DIM + 1), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, FPFH_DIM + 1), jnp.float32),
-        interpret=interpret,
-    )(q.T, jnp.sum(q * q, -1)[None, :], _qv_row(mask, m_pad), qidx, dbT,
-      dd, spfhT, bbox)
+    out = _stream_caller("agg", (radius * radius,), td, interpret)(
+        q.T, jnp.sum(q * q, -1)[None, :], _qv_row(mask, m_pad), qidx, dbT,
+        dd, spfhT, bbox)
     return out[:m]
 
 

@@ -290,7 +290,8 @@ def _block_tile_keep(q, qmask, m_padded, db, dbmask, n_padded, td, k):
     return keep.astype(jnp.int32)
 
 
-def _knn_kernel_banded(k: int, n_db: int, feat: int, td: int):
+def _knn_kernel_banded(k: int, n_db: int, feat: int, td: int,
+                       block_dim: int = 0):
     """_knn_kernel + bbox tile pruning, driven by a precomputed
     (query-block, db-tile) keep bitmap (see _block_tile_keep): the kernel
     processes only tiles whose keep bit is set — skipped tiles cannot hold
@@ -299,7 +300,14 @@ def _knn_kernel_banded(k: int, n_db: int, feat: int, td: int):
     same sorted inputs (exact equality additionally needs both kernels'
     PADDED db sizes to share a bit length, since idx_bits sets the
     quantization step; true for every shape the product and the tests use,
-    and bench.py asserts it on chip every round)."""
+    and bench.py asserts it on chip every round).
+
+    block_dim: which grid dimension indexes query blocks — 0 for the
+    single-cloud grid, 1 for the batched (batch, block) grid.  The batched
+    lowering keeps every ref 2-D (batch is flattened into block index
+    maps): Mosaic miscompiles these kernels when blocks carry a leading
+    singleton axis (chip-measured, tools/prove_vmap_kernels.py), so the
+    grid-batched variant reuses the EXACT chip-proven kernel body."""
     n_tiles = n_db // td
     kc = n_tiles * k
     idx_bits = max((n_db - 1).bit_length(), 1)
@@ -310,7 +318,7 @@ def _knn_kernel_banded(k: int, n_db: int, feat: int, td: int):
         qq = qq_ref[0, :]  # (TQ,)
         cand_slot = jax.lax.broadcasted_iota(jnp.int32, (TQ, kc), 1)
         qTv = qT_ref[...]
-        blk = pl.program_id(0)
+        blk = pl.program_id(block_dim)
 
         def tile_near(t):
             return keep_ref[blk, t] != 0
@@ -396,6 +404,105 @@ def _knn_kernel_banded(k: int, n_db: int, feat: int, td: int):
     return kernel
 
 
+@functools.lru_cache(maxsize=None)
+def _banded_caller(k: int, td: int, interpret: bool):
+    """custom_vmap entry for the banded pallas_call: the unbatched path is
+    the plain single-cloud kernel; under jax.vmap the rule dispatches to
+    the natively GRID-BATCHED kernel (batch = leading grid dim) instead of
+    letting Mosaic batch the SMEM-operand kernel — that vmapped lowering
+    returns corrupted results on chip (tools/prove_vmap_kernels.py).
+    Cached per static config so the custom_vmap object (and its jit cache
+    entry) is reused across calls."""
+
+    @jax.custom_batching.custom_vmap
+    def call(qT, qq, dbT, dd, keep):
+        feat, mp = qT.shape
+        np_ = dbT.shape[1]
+        return pl.pallas_call(
+            _knn_kernel_banded(k, np_, feat, td),
+            grid=(mp // TQ,),
+            in_specs=[
+                pl.BlockSpec((feat, TQ), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TQ), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((feat, np_), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, np_), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((mp // TQ, np_ // td), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((TQ, k), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TQ, k), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((mp, k), jnp.float32),
+                jax.ShapeDtypeStruct((mp, k), jnp.int32),
+            ],
+            interpret=interpret,
+        )(qT, qq, dbT, dd, keep)
+
+    @call.def_vmap
+    def _batched_rule(axis_size, in_batched, qT, qq, dbT, dd, keep):
+        args = [a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+                for a, b in zip((qT, qq, dbT, dd, keep), in_batched)]
+        qT, qq, dbT, dd, keep = args
+        bsz, feat, mp = qT.shape
+        np_ = dbT.shape[2]
+        nblk = mp // TQ
+        nt = np_ // td
+        # Batch is carried purely by the index maps so every ref stays 2-D
+        # and the kernel body is the exact chip-proven single-cloud kernel
+        # (Mosaic miscompiles these kernels when blocks carry a leading
+        # singleton axis — chip-measured, tools/prove_vmap_kernels.py).
+        # Mosaic's block rule (sublane dim divisible by 8 or equal to the
+        # array dim) forces the layout per operand: wide VMEM operands are
+        # LANE-flattened ((B, r, n) -> (r, B*n), block sublane r == array
+        # dim r), outputs are ROW-flattened (block sublane TQ % 8 == 0),
+        # and the SMEM keep table is row-padded to a multiple of 8.
+        nblk8 = -(-nblk // 8) * 8
+        keep_p = jnp.pad(keep, ((0, 0), (0, nblk8 - nblk), (0, 0)))
+        out_d, out_i = pl.pallas_call(
+            _knn_kernel_banded(k, np_, feat, td, block_dim=1),
+            grid=(bsz, nblk),
+            in_specs=[
+                pl.BlockSpec((feat, TQ), lambda b, i: (0, b * nblk + i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TQ), lambda b, i: (0, b * nblk + i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((feat, np_), lambda b, i: (0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, np_), lambda b, i: (0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nblk8, nt), lambda b, i: (b, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((TQ, k), lambda b, i: (b * nblk + i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TQ, k), lambda b, i: (b * nblk + i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bsz * mp, k), jnp.float32),
+                jax.ShapeDtypeStruct((bsz * mp, k), jnp.int32),
+            ],
+            interpret=interpret,
+        )(jnp.transpose(qT, (1, 0, 2)).reshape(feat, bsz * mp),
+          jnp.transpose(qq, (1, 0, 2)).reshape(1, bsz * mp),
+          jnp.transpose(dbT, (1, 0, 2)).reshape(feat, bsz * np_),
+          jnp.transpose(dd, (1, 0, 2)).reshape(1, bsz * np_),
+          keep_p.reshape(bsz * nblk8, nt))
+        return (out_d.reshape(bsz, mp, k), out_i.reshape(bsz, mp, k)), \
+            (True, True)
+
+    return call
+
+
 @functools.partial(jax.jit, static_argnames=("k", "interpret", "td"))
 def _knn_banded_tpu(queries, qmask, db, dbmask, k: int,
                     interpret: bool = False, td: int = 512):
@@ -421,30 +528,7 @@ def _knn_banded_tpu(queries, qmask, db, dbmask, k: int,
     dbT = dbp.T
     dd = (jnp.sum(dbp * dbp, axis=-1) + dpen)[None, :]
 
-    grid = (mp // TQ,)
-    out_d, out_i = pl.pallas_call(
-        _knn_kernel_banded(k, np_, feat, td),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((feat, TQ), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TQ), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((feat, np_), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((mp // TQ, np_ // td), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((TQ, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TQ, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((mp, k), jnp.float32),
-            jax.ShapeDtypeStruct((mp, k), jnp.int32),
-        ],
-        interpret=interpret,
-    )(qT, qq, dbT, dd, keep)
+    out_d, out_i = _banded_caller(k, td, interpret)(qT, qq, dbT, dd, keep)
 
     out_d = out_d[:m]
     out_i = out_i[:m]

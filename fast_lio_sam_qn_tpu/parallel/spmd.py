@@ -129,9 +129,13 @@ def batched_gicp_align(
 @functools.lru_cache(maxsize=None)
 def _batched_gicp_jit(mesh, axis, max_iter, max_corr_dist):
     def one(src, smask, dst, dmask, T0):
+        # banded is safe under the outer vmap: knn_banded's custom_vmap
+        # rule dispatches to the chip-proven grid-batched lowering
+        # (ops/pallas_knn._banded_caller) instead of Mosaic's corrupt
+        # auto-batching — proven by tools/prove_vmap_kernels.py on v5e
         res = gicp.align(src, smask, dst, dmask, init_T=T0,
                          max_iter=max_iter, max_corr_dist=max_corr_dist,
-                         cov_backend="brute", banded=False)
+                         cov_backend="brute", banded=True)
         return res.transform, res.fitness, res.converged
 
     sharding = NamedSharding(mesh, P(axis))

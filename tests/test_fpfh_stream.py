@@ -147,3 +147,40 @@ def test_bbox_pruning_is_exact(cloud):
     # run is compact (sanity on the order itself)
     key_sorted = np.asarray(fs._morton_order(ps, ms))
     assert (np.diff(key_sorted) != 0).all()
+
+
+def test_grid_batched_vmap_parity(cloud):
+    """jax.vmap of the streaming drivers routes through custom_vmap to the
+    natively GRID-BATCHED kernels (batch = leading grid dim; Mosaic's
+    auto-batched SMEM-operand lowering is chip-disproven).  Each stage must
+    match the per-item loop BIT-EXACTLY — identical kernel body, identical
+    tile visit set per item."""
+    import jax
+    from fast_lio_sam_qn_tpu.ops.pallas_knn import morton_order
+
+    p0, m0 = cloud
+    rng = np.random.default_rng(11)
+    B = 3
+    pts = jnp.stack([p0 + rng.normal(0, 0.05, p0.shape).astype(np.float32)
+                     for _ in range(B)])
+    msk = jnp.stack([m0 & jnp.asarray(rng.random(p0.shape[0]) > 0.1 * i)
+                     for i in range(B)])
+
+    def one(p, m):
+        o = morton_order(p, m)
+        p, m = p[o], m[o]
+        mom = fs._moments_tpu(p, m, 0.9, 0.6, interpret=True)
+        n_, nv_, _, _ = fs.moments_to_normals_covs(mom, p, m, None)
+        raw = fs._spfh_tpu(p, m, n_, nv_, 1.5, interpret=True)
+        spfh = raw[:, :fs.FPFH_DIM] / jnp.maximum(
+            raw[:, fs.FPFH_DIM], 1.0)[:, None]
+        agg = fs._fpfh_agg_tpu(p, m, nv_, spfh, 1.5, interpret=True)
+        return mom, raw, agg
+
+    want = [one(pts[i], msk[i]) for i in range(B)]
+    got = jax.vmap(one)(pts, msk)
+    for i in range(B):
+        for name, w, g in zip(("moments", "spfh", "agg"), want[i],
+                              (got[0][i], got[1][i], got[2][i])):
+            np.testing.assert_array_equal(
+                np.asarray(w), np.asarray(g), err_msg=f"{name} item {i}")

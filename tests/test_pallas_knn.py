@@ -179,3 +179,33 @@ def test_banded_k_greater_1_sparse_near_tile():
     # compare indices, which are quantization-independent here (the far
     # cluster's spread >> quantization step)
     assert bool(jnp.all(i_b == i_p))
+
+
+def test_banded_vmap_is_grid_batched_bit_exact():
+    """jax.vmap of the banded kernel routes through custom_vmap to the
+    natively GRID-BATCHED kernel (batch = leading grid dim) — Mosaic's
+    auto-batched lowering of the SMEM-operand kernel is chip-disproven
+    (tools/prove_vmap_kernels.py).  The batched lowering must match the
+    per-item loop BIT-EXACTLY (same kernel body, same tile set)."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    B, m, n, k = 3, 300, 700, 4
+    q = jnp.asarray(rng.uniform(-10, 10, (B, m, 3)).astype(np.float32))
+    db = jnp.asarray(rng.uniform(-10, 10, (B, n, 3)).astype(np.float32))
+    qm = jnp.asarray(rng.random((B, m)) > 0.1)
+    dm = jnp.asarray(rng.random((B, n)) > 0.1)
+
+    def one(qi, qmi, dbi, dmi):
+        oq = pallas_knn.morton_order(qi, qmi)
+        od = pallas_knn.morton_order(dbi, dmi)
+        return pallas_knn._knn_banded_tpu(
+            qi[oq], qmi[oq], dbi[od], dmi[od], k, interpret=True)
+
+    want = [one(q[i], qm[i], db[i], dm[i]) for i in range(B)]
+    got = jax.vmap(one)(q, qm, db, dm)
+    for i in range(B):
+        wd, wi, wv = want[i]
+        assert bool(jnp.all(got[2][i] == wv))
+        assert bool(jnp.all(jnp.where(wv, got[1][i] == wi, True)))
+        assert bool(jnp.all(jnp.where(wv, got[0][i] == wd, True)))
