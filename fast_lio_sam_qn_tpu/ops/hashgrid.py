@@ -104,10 +104,6 @@ def _scatter_rounds(
         won = won & newly[jnp.clip(cand_slot, 0, table_size - 1)]
         won = won & (bids[jnp.clip(cand_slot, 0, table_size - 1)] == idx)
         point_slot = jnp.where(won, cand_slot, point_slot)
-        # record each winning bidder in its claimed slot
-        winner = winner.at[jnp.where(won, cand_slot, table_size)].min(
-            jnp.where(won, idx, _INT_MAX)
-        )
         occupied = occupied | newly
         # drop same-voxel siblings of this round's winners: identical coords
         # share the whole probe sequence, so a loser would claim the NEXT
@@ -120,6 +116,16 @@ def _scatter_rounds(
             & jnp.all(coords[win_at_slot] == coords, axis=-1)
         )
         unplaced = unplaced & ~won & ~lost_to_sibling
+    # record each winning bidder in its claimed slot with ONE scatter at the
+    # end instead of one per round: a slot is claimed by at most one point
+    # across all rounds (occupied afterwards, so never `newly` again), and
+    # point_slot holds exactly that (point, slot) pairing — bit-identical to
+    # the per-round scatter-min, at NUM_PROBES-1 fewer table scatters (TPU
+    # scatters carry a large fixed op cost; this is the claim stage's
+    # hottest axis).
+    winner = winner.at[jnp.where(point_slot >= 0, point_slot, table_size)].min(
+        jnp.where(point_slot >= 0, idx, _INT_MAX)
+    )
     return occupied, winner, point_slot
 
 
