@@ -139,6 +139,63 @@ def _assert_pallas_parity(cloud, mask):
                 ), "banded kNN != unpruned kNN on sorted inputs"
 
 
+def _assert_vmap_parity(src, dst):
+    """Standing gate for VMAP_PRUNED_KERNELS_PROVEN (round-3 verdict #1):
+    the custom_vmap rules of the SMEM-operand kernels (banded kNN,
+    streaming FPFH) must keep vmapped == per-item ON CHIP — Mosaic's own
+    vmap batching of these kernels is chip-DISPROVEN (corrupted distances,
+    FPFH error up to 4.0; see tools/prove_vmap_kernels.py and
+    results/vmap_proof_r4.txt). Re-asserted every bench run so the guard
+    cannot silently rot."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_lio_sam_qn_tpu.ops import fpfh_stream, pallas_knn
+
+    if not pallas_knn.on_tpu():
+        return
+    (va, vma, vp1), (vb, vmb, _) = src, dst
+    n = 2048
+    sub_s, sm = va[:n], vma[:n]
+    sub_d, dm = vb[:n], vmb[:n]
+    # two lanes with different masks/bboxes (the SMEM operands differ)
+    src_b = jnp.stack([sub_s, sub_s + 0.05])
+    dst_b = jnp.stack([sub_d, sub_d - 0.05])
+    sm_b = jnp.stack([sm, sm & (jnp.arange(n) % 7 != 0)])
+    dm_b = jnp.stack([dm, dm & (jnp.arange(n) % 5 != 0)])
+
+    def banded(s, smk, d, dmk):
+        so = pallas_knn.morton_order(s, smk)
+        do = pallas_knn.morton_order(d, dmk)
+        return pallas_knn._knn_banded_tpu(s[so], smk[so], d[do], dmk[do], 1)
+
+    got = jax.jit(jax.vmap(banded))(src_b, sm_b, dst_b, dm_b)
+    for i in range(2):
+        want = jax.jit(banded)(src_b[i], sm_b[i], dst_b[i], dm_b[i])
+        assert bool(jnp.all(got[2][i] == want[2])), "vmap banded validity"
+        assert bool(jnp.all(jnp.where(
+            want[2], (got[0][i] == want[0]) & (got[1][i] == want[1]), True)
+        )), f"vmapped banded kNN != per-item (lane {i})"
+
+    def fstream(s, smk, vp):
+        d, f, (_, _, cv) = fpfh_stream.fpfh_radius(
+            s, smk, 0.9, 1.5, viewpoint=vp, cov_radius=0.6, use_tpu=True)
+        return d, f, cv
+
+    vps = jnp.stack([vp1, vp1 + 0.1])
+    gf = jax.jit(jax.vmap(fstream))(src_b, sm_b, vps)
+    for i in range(2):
+        wf = jax.jit(fstream)(src_b[i], sm_b[i], vps[i])
+        for g, w, name, tol in zip((gf[0][i], gf[1][i], gf[2][i]), wf,
+                                   ("desc", "valid", "cov"),
+                                   (5e-3, 0.0, 1e-5)):
+            diff = float(jnp.max(jnp.abs(
+                g.astype(jnp.float32) - w.astype(jnp.float32))))
+            assert diff <= tol, (
+                f"vmapped streaming FPFH != per-item: lane {i} "
+                f"field {name} maxdiff {diff}")
+
+
 def _null_dispatch_ms():
     import jax
     import jax.numpy as jnp
@@ -198,6 +255,7 @@ def main():
 
     src, dst, drift = build_pair()
     _assert_pallas_parity(dst[0], dst[1])
+    _assert_vmap_parity(src, dst)
 
     run = jax.jit(lambda s, d: full_match(s, d))
     # NOTE: on the tunneled TPU platform block_until_ready does not reliably

@@ -229,17 +229,30 @@ class LoopClosure:
                 k_feat=qc.fpfh_k_feat, k_normal=qc.fpfh_k_normal)
         fs = fpfh.distinctive(ds, fs, jnp.float32(qc.planarity_threshold))
         fd = fpfh.distinctive(dd, fd, jnp.float32(qc.planarity_threshold))
+        # the reference's two matching modes (loop_closure.cpp:22,
+        # README.md:21-22): optimized = spatial gate + max_num_corres cap;
+        # advanced = ALL mutual matches (mutual-NN yields at most one per
+        # src point, so a cap of min(src_cap, advanced_max_corres) is
+        # exhaustive up to the configured static ceiling)
+        if qc.use_optimized_matching:
+            max_corres = qc.max_num_corres
+        else:
+            max_corres = min(src.shape[0], qc.advanced_max_corres)
         q = quatro.align(
             src, ds, fs, dst, dd, fd,
             noise_bound=jnp.float32(qc.noise_bound),
             gnc_factor=jnp.float32(qc.rot_gnc_factor),
             cost_diff_thr=jnp.float32(qc.rot_cost_diff_thr),
             distance_threshold=jnp.float32(qc.distance_threshold),
-            max_corres=qc.max_num_corres, rot_max_iter=qc.rot_max_iter)
+            max_corres=max_corres, rot_max_iter=qc.rot_max_iter,
+            optimized_matching=qc.use_optimized_matching,
+            estimate_scale=qc.estimating_scale)
         # fine stage always computed (fixed-shape program); gated by q.converged
         src_c = se3.transform_points(src, q.transform)
         if src_covs is not None:
-            Rq = q.transform[:3, :3]
+            # pure rotation for C' = R C R^T (transform carries s*R when
+            # estimating_scale; covariance rotation must stay rigid)
+            Rq = q.transform[:3, :3] / q.scale
             src_covs = (jnp.einsum("ab,nbc,dc->nad", Rq, src_covs[0], Rq,
                                    precision="highest"), src_covs[1])
         fine, fine_valid = self.icp_alignment(src_c, src_mask, dst, dst_mask,

@@ -33,18 +33,30 @@ from . import pallas_knn, se3
 
 
 class QuatroResult(NamedTuple):
-    transform: jax.Array    # (4,4) src -> dst
-    converged: jax.Array    # bool
+    transform: jax.Array    # (4,4) src -> dst ([s]R | t; s=1 unless
+    converged: jax.Array    # bool              estimate_scale)
     num_corres: jax.Array   # int32: matches fed to the solver
     num_inliers: jax.Array  # int32: clique size
+    scale: jax.Array        # f32: estimated scale (1.0 unless estimate_scale)
 
 
-@functools.partial(jax.jit, static_argnames=("max_corres",))
+@functools.partial(jax.jit,
+                   static_argnames=("max_corres", "optimized_matching"))
 def match_features(
     src_pts, src_desc, src_valid, dst_pts, dst_desc, dst_valid,
     distance_threshold: jax.Array, max_corres: int = 200,
+    optimized_matching: bool = True,
 ):
-    """Mutual-NN feature matching, spatially gated, capped to max_corres.
+    """Mutual-NN feature matching; two reference modes
+    (loop_closure.cpp:22 `use_optimized_matching`, README.md:21-22):
+
+    - optimized (default): spatially gated at `distance_threshold` and
+      capped to the best `max_corres` matches — Quatro's
+      `optimizedMatching` (config/config.yaml:33-34).
+    - advanced (`optimized_matching=False`): no spatial gate; ALL mutual
+      matches survive. Callers pass a static cap covering every possible
+      mutual match (mutual-NN yields at most one match per src point, so
+      max_corres >= n_src is exhaustive; smaller caps keep the best).
 
     Returns (s_pts (C,3), d_pts (C,3), valid (C,)).
     """
@@ -56,9 +68,13 @@ def match_features(
     n_src = src_desc.shape[0]
     back = idx_ds[jnp.clip(idx_sd, 0)]  # (Ns,)
     mutual = v_sd & (back == jnp.arange(n_src))
-    # spatial gate (loop candidates are within loop radius already)
-    spat = jnp.linalg.norm(src_pts - dst_pts[jnp.clip(idx_sd, 0)], axis=-1)
-    ok = mutual & (spat <= distance_threshold)
+    if optimized_matching:
+        # spatial gate (loop candidates are within loop radius already)
+        spat = jnp.linalg.norm(src_pts - dst_pts[jnp.clip(idx_sd, 0)],
+                               axis=-1)
+        ok = mutual & (spat <= distance_threshold)
+    else:
+        ok = mutual
     score = jnp.where(ok, -d2_sd, -jnp.inf)
     if max_corres > n_src:
         # capacity contract (CLAUDE.md): out_cap > input pads; top_k would
@@ -235,6 +251,47 @@ def translation_voting(s_pts, d_pts, inliers, yaw, noise_bound: jax.Array):
     return jnp.stack([tx, ty, tz]), jnp.minimum(cx, jnp.minimum(cyc, cz))
 
 
+@jax.jit
+def estimate_scale_tims(s_pts, d_pts, inliers, noise_bound: jax.Array):
+    """TLS-style consensus scale from translation-invariant measurements.
+
+    Honors the reference's `estimating_scale` ctor arg
+    (loop_closure.cpp:24; TEASER++-style adaptive scale voting). Ring TIMs
+    over the compacted inlier set (same construction as gnc_rotation_yaw):
+    each TIM pair contributes a scale candidate s_k = |w_k| / |v_k| with a
+    per-candidate confidence window alpha_k = 2*noise_bound / |v_k| (the
+    ratio noise bound); the estimate is the mean of the candidates covered
+    by the best pairwise-consensus window — the component-voting surrogate
+    of TEASER's interval stabbing, like translation_voting.
+
+    Returns (scale, n_votes)."""
+    c = s_pts.shape[0]
+    ordi = jnp.argsort(jnp.where(inliers, 0, 1).astype(jnp.int32),
+                       stable=True)
+    sp, dp = s_pts[ordi], d_pts[ordi]
+    c_inl = jnp.sum(inliers.astype(jnp.int32))
+    kk = jnp.arange(c, dtype=jnp.int32)
+    nxt = jnp.where(kk + 1 >= c_inl, kk + 1 - jnp.maximum(c_inl, 1), kk + 1)
+    nxt = jnp.clip(nxt, 0, c - 1)
+    v = sp - sp[nxt]
+    w = dp - dp[nxt]
+    vn = jnp.linalg.norm(v, axis=-1)
+    wn = jnp.linalg.norm(w, axis=-1)
+    m = (kk < c_inl) & (c_inl >= 2) & (vn > 1e-3)
+    ratio = wn / jnp.maximum(vn, 1e-6)
+    alpha = 2.0 * noise_bound / jnp.maximum(vn, 1e-6)
+    within = jnp.abs(ratio[:, None] - ratio[None, :]) <= \
+        (alpha[:, None] + alpha[None, :])
+    within = within & m[:, None] & m[None, :]
+    counts = jnp.sum(within, axis=1)
+    best = jnp.argmax(counts)
+    sel = within[best]
+    n_votes = counts[best]
+    scale = jnp.sum(jnp.where(sel, ratio, 0.0)) / jnp.maximum(
+        jnp.sum(sel), 1)
+    return jnp.where(n_votes >= 2, scale, 1.0), n_votes
+
+
 @functools.partial(jax.jit, static_argnames=("iters",))
 def refine_yaw_translation(s_pts, d_pts, inliers, yaw0, t0,
                            noise_bound: jax.Array, iters: int = 4):
@@ -282,7 +339,8 @@ def refine_yaw_translation(s_pts, d_pts, inliers, yaw0, t0,
     return yaw, t
 
 
-@functools.partial(jax.jit, static_argnames=("max_corres", "rot_max_iter"))
+@functools.partial(jax.jit, static_argnames=(
+    "max_corres", "rot_max_iter", "optimized_matching", "estimate_scale"))
 def align(
     src_pts, src_desc, src_valid, dst_pts, dst_desc, dst_valid,
     *,
@@ -292,21 +350,40 @@ def align(
     distance_threshold: jax.Array,
     max_corres: int = 200,
     rot_max_iter: int = 50,
+    optimized_matching: bool = True,
+    estimate_scale: bool = False,
 ) -> QuatroResult:
-    """Full Quatro pipeline on precomputed FPFH descriptors."""
+    """Full Quatro pipeline on precomputed FPFH descriptors.
+
+    optimized_matching / estimate_scale mirror the reference ctor args
+    `use_optimized_matching` / `estimating_scale` (loop_closure.cpp:22,24):
+    the advanced-matching variant drops the spatial gate (callers raise
+    max_corres to cover all mutual matches), and scale estimation solves
+    the similarity (sR, t) instead of the rigid (R, t)."""
     s, d, valid = match_features(
         src_pts, src_desc, src_valid, dst_pts, dst_desc, dst_valid,
-        distance_threshold, max_corres=max_corres)
-    inl = max_clique_inliers(s, d, valid, noise_bound)
+        distance_threshold, max_corres=max_corres,
+        optimized_matching=optimized_matching)
+    if estimate_scale:
+        # TEASER ordering: scale first, over ALL matches (the clique's
+        # rigid |ds - dd| compatibility would reject true scaled pairs),
+        # then the clique runs on the de-scaled source
+        scale, _ = estimate_scale_tims(s, d, valid, noise_bound)
+        s_eff = s * scale
+    else:
+        scale = jnp.float32(1.0)
+        s_eff = s
+    inl = max_clique_inliers(s_eff, d, valid, noise_bound)
     yaw, wt, rot_ok = gnc_rotation_yaw(
-        s, d, inl, noise_bound, gnc_factor, cost_diff_thr,
+        s_eff, d, inl, noise_bound, gnc_factor, cost_diff_thr,
         max_iter=rot_max_iter)
-    t, t_votes = translation_voting(s, d, inl, yaw, noise_bound)
+    t, t_votes = translation_voting(s_eff, d, inl, yaw, noise_bound)
     # sharpen the voting-window-precision (yaw, t) with a few reweighted
     # Procrustes iterations over the inliers (see refine_yaw_translation)
-    yaw, t = refine_yaw_translation(s, d, inl, yaw, t, noise_bound)
+    yaw, t = refine_yaw_translation(s_eff, d, inl, yaw, t, noise_bound)
     R = se3.so3_exp(jnp.array([0.0, 0.0, 1.0]) * yaw)
-    T = se3.make_pose(R, t)
+    T = se3.make_pose(R * scale, t)
     n_inl = jnp.sum(inl)
     converged = rot_ok & (n_inl >= 3) & (t_votes >= 2)
-    return QuatroResult(T, converged, jnp.sum(valid), n_inl.astype(jnp.int32))
+    return QuatroResult(T, converged, jnp.sum(valid),
+                        n_inl.astype(jnp.int32), scale)

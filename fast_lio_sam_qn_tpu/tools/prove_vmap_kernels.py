@@ -12,13 +12,22 @@ default-precision descriptor mass) agreement with the per-item loop. If
 every check prints OK, flip VMAP_PRUNED_KERNELS_PROVEN to True and rerun
 bench.py + the loop-closure tests.
 
-RESULT (round 3, v5e): **FAIL on every check** — the vmapped Mosaic
-lowering corrupts the banded kNN's d2/idx on all batch items and puts up
-to 4.0 absolute error on FPFH descriptors, while interpret mode under
-vmap matches the per-item loop exactly.  The XLA-fallback guard in
-models/loop_closure.py is therefore load-bearing; keep
-VMAP_PRUNED_KERNELS_PROVEN = False unless a rerun of this proof passes
-(e.g. after a jax/Mosaic upgrade).
+HISTORY:
+- round 3, v5e, BEFORE the custom_vmap rules existed: FAIL on every
+  check — Mosaic's own vmap batching of the SMEM-operand kernels gave
+  every block a leading singleton axis, corrupting the banded kNN's
+  d2/idx on all batch items and putting up to 4.0 absolute error on
+  FPFH descriptors (interpret mode matched exactly).
+- round 3 (late) + round 4, v5e, WITH the custom_vmap rules
+  (ops/pallas_knn._banded_caller, ops/fpfh_stream._stream_caller
+  dispatching to natively grid-batched lowerings): **ALL OK** —
+  committed artifact `results/vmap_proof_r4.txt`;
+  VMAP_PRUNED_KERNELS_PROVEN = True is proven at HEAD, and bench.py
+  re-asserts a vmapped-vs-per-item parity check on every run so the
+  guard cannot silently rot.
+
+If a refactor removes the custom_vmap rules, rerun this proof before
+trusting vmapped kernels on chip; on FAIL, flip the flag back to False.
 
 Usage: python -u -m fast_lio_sam_qn_tpu.tools.prove_vmap_kernels
 """

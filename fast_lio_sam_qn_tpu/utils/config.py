@@ -39,6 +39,9 @@ class GicpConfig:
     correspondences_number: int = 15          # k for covariance kNN
     max_iter: int = 32
     transformation_epsilon: float = 0.01
+    # stored for config parity, NOT applied — PCL's GICP never consults
+    # the Euclidean-fitness epsilon or the Registration-base RANSAC hooks
+    # on the reference's align() path (see PARITY.md "Known divergences")
     euclidean_fitness_epsilon: float = 0.01
     ransac_max_iter: int = 5
     ransac_outlier_rejection_threshold: float = 1.0
@@ -49,9 +52,18 @@ class GicpConfig:
 class QuatroConfig:
     """Quatro equivalent (reference defaults: fast_lio_sam_qn.cpp:36-45)."""
 
+    # matching mode (loop_closure.cpp:22, README.md:21-22): True =
+    # optimizedMatching (spatial gate + max_num_corres cap); False =
+    # advanced matching (all mutual matches, no gate) — see
+    # advanced_max_corres for the static capacity that mode pads to
     use_optimized_matching: bool = True
     distance_threshold: float = 35.0          # config.yaml:33 (code default 30.0)
     max_num_corres: int = 200                 # typo'd key -> code default 200 wins
+    # TPU-native static ceiling for the ADVANCED (uncapped) matching mode:
+    # mutual-NN produces at most one match per src point, so
+    # min(src_cap, advanced_max_corres) covers every possible match up to
+    # this bound (fixed shapes; the clique stage is O(C^2) in it)
+    advanced_max_corres: int = 2048
     fpfh_normal_radius: float = 0.9           # config.yaml:35 (code default 0.3)
     fpfh_radius: float = 1.5                  # config.yaml:36 (code default 0.5)
     # FPFH backend: "stream" (default) = gather-free streaming radius
@@ -70,6 +82,9 @@ class QuatroConfig:
     # clouds; 32/24 is ~20% faster and validated on >=8k-point clouds.
     fpfh_k_feat: int = 48
     fpfh_k_normal: int = 32
+    # loop_closure.cpp:24: solve the similarity (sR, t) instead of the
+    # rigid (R, t) — TEASER-style TLS scale estimation (ops/quatro.py
+    # estimate_scale_tims) runs before the de-scaled clique
     estimating_scale: bool = False
     noise_bound: float = 0.3
     rot_gnc_factor: float = 1.4

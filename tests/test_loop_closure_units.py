@@ -83,3 +83,44 @@ def test_submap_bounds_mirror_reference():
     s = np.asarray(src)[np.asarray(sm)]
     s_levels = set(np.round(s[:, 2] / 100.0).astype(int))
     assert s_levels == {5}, s_levels
+
+
+def test_matching_mode_flag_changes_behavior():
+    """QuatroConfig.use_optimized_matching must be CONSUMED: flipping it to
+    False (advanced matching, loop_closure.cpp:22) switches the matcher to
+    the ungated/uncapped path — observable as more correspondences than
+    the optimized mode's max_num_corres cap admits."""
+    import dataclasses
+
+    from fast_lio_sam_qn_tpu.models.loop_closure import LoopClosure
+    from fast_lio_sam_qn_tpu.utils.config import LoopClosureConfig
+    from fast_lio_sam_qn_tpu.utils import sim
+
+    world = sim.World.room(size=16.0, height=4.0, n_boxes=6, seed=2)
+    T1 = np.eye(4, dtype=np.float32)
+    T1[:3, 3] = [1.0, 0.5, 1.5]
+    s1, _ = sim.simulate_scan(world, T1, n_points=512, noise=0.01, seed=1)
+    s2, _ = sim.simulate_scan(world, T1, n_points=512, noise=0.01, seed=2)
+    w1 = s1 @ T1[:3, :3].T + T1[:3, 3]
+    w2 = s2 @ T1[:3, :3].T + T1[:3, 3]
+    c1, m1 = sim.pad_cloud(w1.astype(np.float32), 512)
+    c2, m2 = sim.pad_cloud(w2.astype(np.float32), 512)
+    vp = jnp.asarray(T1[:3, 3])
+
+    def run(optimized: bool):
+        cfg = LoopClosureConfig()
+        cfg.quatro = dataclasses.replace(
+            cfg.quatro, use_optimized_matching=optimized,
+            max_num_corres=8,          # tiny cap: starves the optimized mode
+            advanced_max_corres=256, fpfh_k_feat=16, fpfh_k_normal=12)
+        lc = LoopClosure(cfg, src_cap=512, dst_cap=512)
+        _, _, valid, q = lc.coarse_to_fine_alignment(
+            jnp.asarray(c1), jnp.asarray(m1), jnp.asarray(c2),
+            jnp.asarray(m2), vp, vp)
+        return int(q.num_corres), bool(valid)
+
+    n_opt, _ = run(True)
+    n_adv, valid_adv = run(False)
+    assert n_opt <= 8
+    assert n_adv > n_opt, (n_adv, n_opt)
+    assert valid_adv

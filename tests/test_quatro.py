@@ -166,3 +166,85 @@ def test_gnc_yaw_sparse_inliers_in_rank_order():
         cost_diff_thr=jnp.float32(1e-4))
     assert bool(converged)
     assert abs(float(yaw) - yaw_true) < 0.01, float(yaw)
+
+
+def test_advanced_matching_uncapped():
+    """use_optimized_matching=False (advanced matching, loop_closure.cpp:22,
+    README.md:21): no spatial gate, all mutual matches survive up to the
+    static cap — observable as >200 correspondences where the optimized
+    mode is hard-capped at 200."""
+    rng = np.random.default_rng(0)
+    n = 512
+    s_pts = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    yaw_true = 0.3
+    cy, sy = np.cos(yaw_true), np.sin(yaw_true)
+    R = np.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]],
+                 np.float32)
+    t = np.array([1.0, -2.0, 0.5], np.float32)
+    d_pts = s_pts @ R.T + t
+    # distinct random descriptors: every point is its own mutual match
+    desc = rng.normal(0, 1, (n, 33)).astype(np.float32)
+    valid = jnp.ones(n, bool)
+    common = dict(noise_bound=jnp.float32(0.3), gnc_factor=jnp.float32(1.4),
+                  cost_diff_thr=jnp.float32(1e-4),
+                  distance_threshold=jnp.float32(3.0), rot_max_iter=50)
+    opt = quatro.align(jnp.asarray(s_pts), jnp.asarray(desc), valid,
+                       jnp.asarray(d_pts), jnp.asarray(desc), valid,
+                       max_corres=200, optimized_matching=True, **common)
+    adv = quatro.align(jnp.asarray(s_pts), jnp.asarray(desc), valid,
+                       jnp.asarray(d_pts), jnp.asarray(desc), valid,
+                       max_corres=1024, optimized_matching=False, **common)
+    # optimized: the |s - d| = ~2.3-25 m offsets exceed the 3 m spatial
+    # gate for most pairs AND the survivor count is capped at 200
+    assert int(opt.num_corres) <= 200
+    # advanced: every mutual match survives (no gate, cap is exhaustive)
+    assert int(adv.num_corres) == n, int(adv.num_corres)
+    assert bool(adv.converged)
+    T = np.asarray(adv.transform)
+    assert abs(np.arctan2(T[1, 0], T[0, 0]) - yaw_true) < 0.02
+    assert np.linalg.norm(T[:3, 3] - t) < 0.15
+
+
+def test_estimating_scale():
+    """estimating_scale=True (loop_closure.cpp:24): recover the similarity
+    (sR, t) — TEASER-style TLS scale from TIM norm ratios, estimated before
+    the (de-scaled) clique."""
+    rng = np.random.default_rng(1)
+    n = 256
+    s_pts = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+    scale_true = 1.15
+    yaw_true = 0.25
+    cy, sy = np.cos(yaw_true), np.sin(yaw_true)
+    R = np.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]],
+                 np.float32)
+    t = np.array([0.5, 1.5, -0.3], np.float32)
+    d_pts = (scale_true * (s_pts @ R.T) + t).astype(np.float32)
+    # 20% outlier correspondences
+    n_out = n // 5
+    d_pts[:n_out] = rng.uniform(-8, 8, (n_out, 3)).astype(np.float32)
+    desc = rng.normal(0, 1, (n, 33)).astype(np.float32)
+    valid = jnp.ones(n, bool)
+    res = quatro.align(jnp.asarray(s_pts), jnp.asarray(desc), valid,
+                       jnp.asarray(d_pts), jnp.asarray(desc), valid,
+                       noise_bound=jnp.float32(0.3),
+                       gnc_factor=jnp.float32(1.4),
+                       cost_diff_thr=jnp.float32(1e-4),
+                       distance_threshold=jnp.float32(100.0),
+                       max_corres=256, rot_max_iter=50,
+                       estimate_scale=True)
+    assert bool(res.converged)
+    assert abs(float(res.scale) - scale_true) < 0.03, float(res.scale)
+    T = np.asarray(res.transform)
+    # transform carries s*R: det of the linear block is s^3
+    assert abs(np.linalg.det(T[:3, :3]) ** (1 / 3) - scale_true) < 0.03
+    assert abs(np.arctan2(T[1, 0], T[0, 0]) - yaw_true) < 0.03
+    assert np.linalg.norm(T[:3, 3] - t) < 0.25
+    # the flag off on the same data: scale stays exactly 1
+    res0 = quatro.align(jnp.asarray(s_pts), jnp.asarray(desc), valid,
+                        jnp.asarray(d_pts), jnp.asarray(desc), valid,
+                        noise_bound=jnp.float32(0.3),
+                        gnc_factor=jnp.float32(1.4),
+                        cost_diff_thr=jnp.float32(1e-4),
+                        distance_threshold=jnp.float32(100.0),
+                        max_corres=256, rot_max_iter=50)
+    assert float(res0.scale) == 1.0
