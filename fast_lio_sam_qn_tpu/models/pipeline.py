@@ -201,9 +201,19 @@ class FastLioSamQnPipeline:
     def _optimize_and_refresh(self):
         # reference: isam.update x2, x5 when a loop was added (:156-165)
         gn = 5 if self.loop_added_flag else 2
-        self.graph = pgo.optimize(self.graph, self._prior_var,
-                                  self._odom_var, gn_iters=gn, pcg_iters=64,
-                                  robust_delta=self.cfg.robust_delta)
+        n_factors = self.current_kf_idx + len(self.loop_idx_pairs) + 1
+        if (self.mesh is not None and len(self.mesh.devices.flat) > 1
+                and n_factors >= self.cfg.pgo_shard_min_factors):
+            from ..parallel import spmd
+
+            self.graph = spmd.pgo_optimize_full(
+                self.mesh, self.graph, self._prior_var, self._odom_var,
+                gn_iters=gn, pcg_iters=64,
+                robust_delta=self.cfg.robust_delta)
+        else:
+            self.graph = pgo.optimize(
+                self.graph, self._prior_var, self._odom_var, gn_iters=gn,
+                pcg_iters=64, robust_delta=self.cfg.robust_delta)
         n = self.current_kf_idx
         last = self.graph.poses[n - 1]
         self.last_corrected_pose = last

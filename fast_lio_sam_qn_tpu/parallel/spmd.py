@@ -163,6 +163,16 @@ def pgo_optimize_sharded(
 
 @functools.lru_cache(maxsize=None)
 def _pgo_sharded_jit(mesh, axis, pcg_iters, n_cap):
+    return jax.jit(_make_pgo_solve(mesh, axis, pcg_iters, n_cap))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_pgo_solve(mesh, axis, pcg_iters, n_cap):
+    """shard_map'd linearized PGO solve (factors sharded, poses replicated):
+    builds (b, block-Jacobi precond, matrix-free Hx) with psum-combined
+    scatter-adds and runs PCG. Used directly by pgo_optimize_sharded and
+    inside pgo_optimize_full's GN loop."""
+
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
@@ -211,9 +221,18 @@ def _pgo_sharded_jit(mesh, axis, pcg_iters, n_cap):
         z = precond(rr)
         p = z
         rz = jnp.sum(rr * z)
+        rr0 = jnp.sum(rr * rr)
 
-        def body(_, carry):
-            x, rr, z, p, rz = carry
+        # relative-residual early exit like ops.pgo.optimize: every scalar
+        # here is replicated (b and hx outputs are psum-combined), so the
+        # while condition agrees on all devices
+        def cond(carry):
+            _, rr_vec, _, _, _, it = carry
+            res = jnp.sum(rr_vec * rr_vec)
+            return (it < pcg_iters) & (res > 1e-10 * jnp.maximum(rr0, 1e-20))
+
+        def body(carry):
+            x, rr, z, p, rz, it = carry
             hp = hx(p)
             alpha = rz / jnp.maximum(jnp.sum(p * hp), 1e-20)
             x = x + alpha * p
@@ -221,12 +240,76 @@ def _pgo_sharded_jit(mesh, axis, pcg_iters, n_cap):
             z = precond(rr)
             rz2 = jnp.sum(rr * z)
             beta = rz2 / jnp.maximum(rz, 1e-20)
-            return (x, rr, z, p * beta + z, rz2)
+            return (x, rr, z, p * beta + z, rz2, it + 1)
 
-        x, *_ = jax.lax.fori_loop(0, pcg_iters, body, (x, rr, z, p, rz))
+        x, *_ = jax.lax.while_loop(
+            cond, body, (x, rr, z, p, rz, jnp.int32(0)))
         return x
 
-    return jax.jit(solve)
+    return solve
+
+
+def pgo_optimize_full(mesh, graph, prior_var, odom_var, *,
+                      axis: str = "dp", gn_iters: int = 3,
+                      pcg_iters: int = 64, robust_delta: float = 1.0):
+    """Full pose-graph Gauss-Newton with factor-sharded PCG solves.
+
+    Semantics mirror ops.pgo.optimize (relinearize every GN iteration,
+    Huber on loop factors, right-perturbation retraction on active nodes)
+    but each linear solve runs with the factor arrays sharded over the
+    mesh and the normal-equation scatter-adds psum-combined over ICI —
+    the product path FastLioSamQnPipeline(mesh=...) switches to above
+    PipelineConfig.pgo_shard_min_factors. Returns the updated GraphState.
+    """
+    fn = _pgo_full_jit(mesh, axis, int(gn_iters), int(pcg_iters),
+                       float(robust_delta), int(graph.capacity),
+                       int(graph.loop_i.shape[0]))
+    return fn(graph, prior_var, odom_var)
+
+
+@functools.lru_cache(maxsize=None)
+def _pgo_full_jit(mesh, axis, gn_iters, pcg_iters, robust_delta,
+                  n_cap, l_cap):
+    from ..ops import pgo
+
+    ndev = len(mesh.devices.flat)
+    f_tot = n_cap + l_cap + 1  # odom + loops + prior (pgo._factor_data)
+    pad = (-f_tot) % ndev
+    solve = _make_pgo_solve(mesh, axis, pcg_iters, n_cap)
+
+    def run(graph, prior_var, odom_var):
+        active = (jnp.arange(n_cap) < graph.num_nodes)[:, None]
+        act_f = active.astype(jnp.float32)
+
+        def padz(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
+
+        def gn_step(_, g):
+            idx_i, idx_j, r, Ji, Jj, w6, valid = pgo._factor_data(
+                g, prior_var, odom_var)
+            if robust_delta > 0:
+                is_loop = (jnp.arange(f_tot) >= n_cap) & (
+                    jnp.arange(f_tot) < n_cap + l_cap)
+                m = jnp.sqrt(jnp.maximum(
+                    jnp.sum(r * r * w6, axis=-1), 1e-20))
+                hub = jnp.minimum(1.0, robust_delta / m)
+                w6 = jnp.where(is_loop[:, None], w6 * hub[:, None], w6)
+            x = solve(padz(idx_i), padz(idx_j), padz(r), padz(Ji),
+                      padz(Jj), padz(w6), padz(valid), act_f)
+            dT = se3.se3_exp(x)
+            new_poses = jnp.where(active[..., None],
+                                  se3.compose(g.poses, dT), g.poses)
+            return g._replace(poses=new_poses)
+
+        return jax.lax.fori_loop(0, gn_iters, gn_step, graph)
+
+    # replicated output: the graph flows on into programs whose
+    # in_shardings demand replication (e.g. the sharded loop-closure
+    # batch passes the keyframe store replicated) — a dp-committed
+    # output here would make those jit calls reject the arrays
+    rep = NamedSharding(mesh, P())
+    return jax.jit(run, out_shardings=rep)
 
 
 # ---------------------------------------------------------------------------

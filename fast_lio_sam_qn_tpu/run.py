@@ -126,7 +126,25 @@ def _get_pipeline_config(args, preset):
         ("map_table_size", getattr(args, "table_size", None))) if v}
     if over:
         cfg.lio = dataclasses.replace(cfg.lio, **over)
+    if getattr(args, "loop_batch", None):
+        cfg.loop.loop_batch = args.loop_batch
+    elif getattr(args, "devices", None) and args.devices > 1:
+        # a mesh with no explicit batch size: one candidate per device
+        cfg.loop.loop_batch = args.devices
     return cfg
+
+
+def _build_mesh(args):
+    """--devices N: a jax.sharding.Mesh over the first N devices; the
+    batched loop-closure program shards its candidate batch over it and
+    the PGO solve switches to the factor-sharded program above
+    cfg.pgo_shard_min_factors (parallel/spmd.py). None = single device."""
+    n = getattr(args, "devices", None)
+    if not n or n <= 1:
+        return None
+    from .parallel.mesh import make_mesh
+
+    return make_mesh(n)
 
 
 def run_sim(args):
@@ -160,7 +178,7 @@ def run_sim(args):
     else:
         world = sim.World.room(size=26.0, height=5.0, n_boxes=10, seed=3)
         traj = sim.Trajectory.loop(radius=7.0, period=40.0)
-    pipe = FastLioSamQnPipeline(cfg)
+    pipe = FastLioSamQnPipeline(cfg, mesh=_build_mesh(args))
     lio = LIO(cfg.lio)
     scan_hz = getattr(args, "scan_hz", None) or 5.0
     n_scans = args.n_scans or 240
@@ -261,7 +279,7 @@ def run_parity(args):
     from .utils.profiling import Profiler
 
     cfg = _get_pipeline_config(args, args.preset)
-    pipe = FastLioSamQnPipeline(cfg)
+    pipe = FastLioSamQnPipeline(cfg, mesh=_build_mesh(args))
     prof = Profiler()
     scan_paths = sorted(
         glob.glob(os.path.join(args.scans, "*.bin"))
@@ -354,7 +372,7 @@ def run_bag(args):
     from .utils.sim import pad_cloud
 
     cfg = _get_pipeline_config(args, args.preset)
-    pipe = FastLioSamQnPipeline(cfg)
+    pipe = FastLioSamQnPipeline(cfg, mesh=_build_mesh(args))
     prof = Profiler()
     obs = RunObservers(args, cfg.vis_hz, cfg.save_voxel_resolution)
     reader = BagReader(args.bag)
@@ -538,7 +556,7 @@ def run_kitti(args):
     from .utils.sim import pad_cloud
 
     cfg = _get_pipeline_config(args, args.preset)
-    pipe = FastLioSamQnPipeline(cfg)
+    pipe = FastLioSamQnPipeline(cfg, mesh=_build_mesh(args))
     lio = LIO(cfg.lio)
     prof = Profiler()
     obs = RunObservers(args, cfg.vis_hz, cfg.save_voxel_resolution)
@@ -712,6 +730,15 @@ def main(argv=None):
                         "smoke runs without changing preset semantics")
     p.add_argument("--table-size", type=int, default=None,
                    help="override lio.map_table_size (voxel-hash slots)")
+    p.add_argument("--loop-batch", type=int, default=None, dest="loop_batch",
+                   help="process up to N pending keyframes per loop tick as "
+                        "ONE batched registration program (0/absent = "
+                        "reference latest-keyframe-only semantics); with "
+                        "--devices the batch is sharded over the mesh")
+    p.add_argument("--devices", type=int, default=None,
+                   help="build a jax.sharding.Mesh over the first N devices "
+                        "and shard the loop-closure batch + (above "
+                        "pgo_shard_min_factors) the PGO solve over it")
     p.add_argument("--trajectory", default="loop",
                    choices=["loop", "figure8", "corridor"])
     p.add_argument("--scan-hz", type=float, default=None, dest="scan_hz")

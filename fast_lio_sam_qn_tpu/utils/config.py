@@ -229,6 +229,12 @@ class PipelineConfig:
     # solve (ops/pgo.py optimize). <= 0 restores the reference's raw
     # isotropic-variance weighting.
     robust_delta: float = 1.0
+    # Multi-chip (mesh present): switch the per-keyframe PGO solve to the
+    # factor-sharded program (parallel/spmd.pgo_optimize_full) once the
+    # active factor count (nodes + loops + prior) reaches this. Below it,
+    # the single-device solve wins on latency (the graph is tiny and the
+    # psum round-trips dominate). Identical math either way.
+    pgo_shard_min_factors: int = 512
 
     def apply_strict_parity(self) -> "PipelineConfig":
         """Disable every beyond-reference robustness gate IN PLACE so loop

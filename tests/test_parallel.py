@@ -159,3 +159,47 @@ def test_sharded_loop_closure_batch_matches_single():
     np.testing.assert_allclose(np.asarray(shd.pose_between),
                                np.asarray(ref.pose_between), atol=1e-3)
     assert int(np.asarray(shd.closest_idx)[4]) == -1
+
+
+def test_pgo_optimize_full_matches_single_device():
+    """spmd.pgo_optimize_full (factor-sharded GN, the product PGO path a
+    mesh-equipped pipeline switches to above pgo_shard_min_factors) must
+    reproduce ops.pgo.optimize's poses on the same graph."""
+    m = meshlib.make_mesh(8)
+    n = 16
+    g = pgo.empty_graph(max_nodes=32, max_loops=8)
+    rng = np.random.default_rng(1)
+    poses_gt = [np.eye(4)]
+    for i in range(1, n):
+        xi = np.zeros(6)
+        xi[2] = 0.05
+        xi[3] = 1.0
+        poses_gt.append(poses_gt[-1] @ np.asarray(
+            se3.se3_exp(jnp.asarray(xi, dtype=jnp.float32))))
+    g = pgo.add_first_node(g, jnp.asarray(poses_gt[0], dtype=jnp.float32))
+    est = poses_gt[0]
+    ests = [est]
+    for i in range(1, n):
+        rel = np.linalg.inv(poses_gt[i - 1]) @ poses_gt[i]
+        noise = np.asarray(se3.se3_exp(jnp.asarray(
+            rng.normal(0, 0.01, 6), dtype=jnp.float32)))
+        est = est @ rel @ noise
+        ests.append(est)
+        g = pgo.add_odom_node(g, jnp.asarray(ests[i - 1], jnp.float32),
+                              jnp.asarray(est, jnp.float32))
+    loop_meas = jnp.asarray(
+        np.linalg.inv(poses_gt[n - 1]) @ poses_gt[0], jnp.float32)
+    g = pgo.add_loop_factor(g, jnp.int32(n - 1), jnp.int32(0), loop_meas,
+                            jnp.float32(1e-3))
+    prior_var = jnp.array([1e-4] * 3 + [1e-2] * 3)
+    odom_var = jnp.array([1e-4] * 3 + [1e-2] * 3)
+
+    for robust in (1.0, 0.0):  # Huber on loops, and raw reference weighting
+        ref = pgo.optimize(g, prior_var, odom_var, gn_iters=3,
+                           pcg_iters=64, robust_delta=robust)
+        shd = spmd.pgo_optimize_full(m, g, prior_var, odom_var, gn_iters=3,
+                                     pcg_iters=64, robust_delta=robust)
+        np.testing.assert_allclose(
+            np.asarray(shd.poses[:n]), np.asarray(ref.poses[:n]),
+            atol=1e-4,
+            err_msg=f"sharded full PGO != single-device (robust={robust})")

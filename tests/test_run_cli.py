@@ -241,3 +241,24 @@ def test_golden_sim_trajectory_regression(capsys):
     assert abs(report["ate_rmse_m"] - 0.0652) < 0.2 * 0.0652, report
     assert 4 <= report["loops_accepted"] <= 8, report
     assert report["loop_attempts"] == 12, report
+
+
+def test_run_parity_mesh_devices(kitti_style_dir, tmp_path, capsys):
+    """--devices N + --loop-batch N (round-3 verdict #2): the CLI builds a
+    mesh over the test's 8 virtual devices, runs the pipeline with the
+    batched loop scheduler sharded over it, and completes normally."""
+    from fast_lio_sam_qn_tpu.run import main
+
+    d, traj = kitti_style_dir
+    period = 0.1
+    poses = np.stack([traj.pose((i + 1) * period) for i in range(30)])
+    pose_file = str(tmp_path / "odom.txt")
+    from fast_lio_sam_qn_tpu.utils.io import save_poses_kitti
+    save_poses_kitti(pose_file, poses)
+    rc = main(["--scans", os.path.join(d, "scans"), "--poses", pose_file,
+               "--preset", "sim", "--devices", "8", "--loop-batch", "8",
+               "--no-auto-save"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["mode"] == "parity"
+    assert report["keyframes"] >= 1
