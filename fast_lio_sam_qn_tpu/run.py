@@ -120,7 +120,23 @@ def _get_pipeline_config(args, preset):
     --scan-cap/--table-size into later runs)."""
     from .configs.presets import get_pipeline_config
 
-    cfg = get_pipeline_config(preset)
+    if getattr(args, "ref_config", None):
+        # load the reference's literal rosparam YAML with effective-value
+        # semantics (typo'd keys fall back to code defaults) and, by
+        # default, strict-parity gating — the `roslaunch ... run.launch`
+        # config path (launch/run.launch:13). The PGO/loop side comes from
+        # the YAML; the LIO front end still needs the per-dataset preset
+        # (the reference runs FAST-LIO as a separate node with its own
+        # yaml, kitti.launch:13).
+        from .configs.presets import LIO_PRESETS
+        from .utils.config import load_reference_yaml
+
+        cfg = load_reference_yaml(
+            args.ref_config,
+            strict_parity=not getattr(args, "no_strict_parity", False))
+        cfg.lio = dataclasses.replace(LIO_PRESETS[preset])
+    else:
+        cfg = get_pipeline_config(preset)
     over = {k: v for k, v in (
         ("max_points_per_scan", getattr(args, "scan_cap", None)),
         ("map_table_size", getattr(args, "table_size", None))) if v}
@@ -365,7 +381,8 @@ def run_bag(args):
 
     from .models.lio import LIO
     from .models.pipeline import FastLioSamQnPipeline
-    from .runtime.rosbag import (BagReader, decode_imu, decode_odometry,
+    from .runtime.rosbag import (BagReader, decode_imu,
+                                 decode_livox_custommsg, decode_odometry,
                                  decode_pointcloud2)
     from .utils import sweep
     from .utils.profiling import Profiler
@@ -382,6 +399,16 @@ def run_bag(args):
         else cfg.caps.keyframe_points
     off = cfg.lio.time_offset_lidar_to_imu
 
+    # scan-carrying message types -> decoders, all returning
+    # (stamp, xyzi (N, 4), rel (N,) seconds); bags recorded by the
+    # upstream Livox driver carry CustomMsg instead of PointCloud2
+    scan_decoders = {
+        "sensor_msgs/PointCloud2": lambda raw: decode_pointcloud2(
+            raw, timestamp_unit=cfg.lio.timestamp_unit),
+        "livox_ros_driver/CustomMsg": decode_livox_custommsg,
+        "livox_ros_driver2/CustomMsg": decode_livox_custommsg,
+    }
+
     if args.odom_topic:
         from .runtime import ApproxTimeSync
 
@@ -392,12 +419,10 @@ def run_bag(args):
         next_a = next_b = 0     # ids below these are fed or dropped
         with prof.span("run"):
             for topic, mtype, trec, raw in reader.messages():
-                if mtype == "sensor_msgs/PointCloud2" and scan_topic is None:
+                if mtype in scan_decoders and scan_topic is None:
                     scan_topic = topic
-                if topic == scan_topic and \
-                        mtype == "sensor_msgs/PointCloud2":
-                    stamp, xyzi, _ = decode_pointcloud2(
-                        raw, timestamp_unit=cfg.lio.timestamp_unit)
+                if topic == scan_topic and mtype in scan_decoders:
+                    stamp, xyzi, _ = scan_decoders[mtype](raw)
                     scans[na] = xyzi
                     sync.push_a(stamp + off, na)
                     na += 1
@@ -513,14 +538,13 @@ def run_bag(args):
 
     with prof.span("run"):
         for topic, mtype, trec, raw in reader.messages():
-            if mtype == "sensor_msgs/PointCloud2" and scan_topic is None:
+            if mtype in scan_decoders and scan_topic is None:
                 scan_topic = topic
             if mtype == "sensor_msgs/Imu" and imu_topic is None:
                 imu_topic = topic
-            if topic == scan_topic and mtype == "sensor_msgs/PointCloud2":
+            if topic == scan_topic and mtype in scan_decoders:
                 with prof.span("decode"):
-                    stamp, xyzi, rel = decode_pointcloud2(
-                        raw, timestamp_unit=cfg.lio.timestamp_unit)
+                    stamp, xyzi, rel = scan_decoders[mtype](raw)
                 has_rel = rel is not None and len(rel) and \
                     float(rel.max()) > 0
                 pending.append((stamp + off, xyzi[:, :3], xyzi[:, 3],
@@ -680,7 +704,8 @@ def main(argv=None):
                         "— LIO+PGO by default, or odometry-driven parity "
                         "with --odom-topic")
     p.add_argument("--scan-topic", default=None,
-                   help="--bag: PointCloud2 topic (default: first found)")
+                   help="--bag: scan topic, PointCloud2 or livox "
+                        "CustomMsg (default: first found)")
     p.add_argument("--imu-topic", default=None,
                    help="--bag: Imu topic (default: first found)")
     p.add_argument("--odom-topic", default=None,
@@ -698,6 +723,17 @@ def main(argv=None):
     p.add_argument("--world-frame", action="store_true",
                    help="scans are world-frame (un-transform by pose)")
     p.add_argument("--preset", default="kitti")
+    p.add_argument("--ref-config", default=None, dest="ref_config",
+                   help="load the PGO/loop config from a reference-format "
+                        "rosparam YAML (e.g. the upstream config/"
+                        "config.yaml) with effective-value semantics and "
+                        "strict-parity gating; --preset still selects the "
+                        "LIO front-end tuning")
+    p.add_argument("--no-strict-parity", action="store_true",
+                   dest="no_strict_parity",
+                   help="with --ref-config: keep the TPU-native robustness "
+                        "gates (consensus window, degeneracy gate, Huber) "
+                        "instead of reference-exact acceptance")
     p.add_argument("--out", default=None, help="export directory")
     p.add_argument("--no-auto-save", action="store_true",
                    help="skip the shutdown auto-save: without --out, runs "

@@ -6,10 +6,11 @@ The reference is driven by `rosbag play` of dataset bags
 those bags directly: record framing per the rosbag 2.0 on-disk format
 [external, documented at wiki.ros.org/Bags/Format/2.0], chunk
 decompression (none / bz2 via stdlib / lz4 via the native runtime's frame
-decoder), and hand-rolled deserializers for the three message types the
+decoder), and hand-rolled deserializers for the message types the
 pipeline consumes:
 
   - sensor_msgs/PointCloud2 (generic: driven by its PointField array)
+  - livox_ros_driver/CustomMsg (Livox driver bags, per-point offset_time)
   - sensor_msgs/Imu
   - nav_msgs/Odometry (for parity-mode replay of recorded odometry)
 
@@ -333,6 +334,44 @@ def _rel_time_scale(fname: str, dt: np.dtype, rel: np.ndarray,
     return scale
 
 
+def decode_livox_custommsg(buf: bytes):
+    """livox_ros_driver/CustomMsg -> (stamp, (N, 4) xyzi f32, rel (N,) s).
+
+    Bags recorded by the upstream Livox driver (the submodule FAST-LIO
+    compiles against, /root/reference/.gitmodules:4-6) carry this custom
+    point type instead of PointCloud2. Layout [external, livox_ros_driver
+    msg/CustomMsg.msg + CustomPoint.msg]:
+
+      std_msgs/Header header
+      uint64 timebase        # ns epoch of the first point
+      uint32 point_num
+      uint8  lidar_id
+      uint8[3] rsvd          # fixed array: no length prefix
+      CustomPoint[] points   # u32 offset_time (ns, from timebase),
+                             # f32 x, f32 y, f32 z,
+                             # u8 reflectivity, u8 tag, u8 line -> 19 B
+
+    offset_time rides out as rel seconds (min-normalized like
+    decode_pointcloud2) — the true-time deskew input; reflectivity maps
+    to the intensity channel.
+    """
+    (stamp, _), i = _read_ros_header(buf, 0)
+    _timebase, point_num = struct.unpack_from("<QI", buf, i)
+    i += 8 + 4 + 1 + 3  # timebase, point_num, lidar_id, rsvd[3]
+    (n,) = struct.unpack_from("<I", buf, i)
+    i += 4
+    n = min(n, point_num) if point_num else n
+    if n == 0:
+        return stamp, np.zeros((0, 4), np.float32), np.zeros(0, np.float32)
+    rec = np.frombuffer(buf, np.uint8, n * 19, i).reshape(n, 19)
+    off_ns = rec[:, 0:4].copy().view(np.uint32)[:, 0].astype(np.float64)
+    xyz = rec[:, 4:16].copy().view(np.float32)
+    refl = rec[:, 16].astype(np.float32)
+    xyzi = np.concatenate([xyz, refl[:, None]], 1).astype(np.float32)
+    rel = ((off_ns - off_ns.min()) * 1e-9).astype(np.float32)
+    return stamp, xyzi, rel
+
+
 def decode_imu(buf: bytes):
     """sensor_msgs/Imu -> (stamp, gyro (3,), acc (3,))."""
     (stamp, _), i = _read_ros_header(buf, 0)
@@ -585,6 +624,27 @@ def encode_pointcloud2(stamp: float, xyzi: np.ndarray,
     buf += struct.pack("<I", len(raw)) + raw
     buf += struct.pack("<B", 1)              # is_dense
     return buf
+
+
+def encode_livox_custommsg(stamp: float, xyzi: np.ndarray,
+                           rel_s: np.ndarray,
+                           frame_id: str = "livox_frame") -> bytes:
+    """Serialize (N, 4) xyzi + per-point rel seconds as
+    livox_ros_driver/CustomMsg (fixture bags for the --bag livox path;
+    layout per decode_livox_custommsg)."""
+    xyzi = np.ascontiguousarray(xyzi, np.float32)
+    n = len(xyzi)
+    buf = struct.pack("<III", 0, *_sec_nsec(stamp))
+    buf += _w_string(frame_id)
+    buf += struct.pack("<QIB", int(round(stamp * 1e9)), n, 0)
+    buf += b"\x00" * 3  # rsvd[3]
+    buf += struct.pack("<I", n)
+    rec = np.zeros((n, 19), np.uint8)
+    off_ns = np.round(np.asarray(rel_s, np.float64) * 1e9).astype(np.uint32)
+    rec[:, 0:4] = off_ns[:, None].copy().view(np.uint8)
+    rec[:, 4:16] = xyzi[:, :3].copy().view(np.uint8).reshape(n, 12)
+    rec[:, 16] = np.clip(xyzi[:, 3], 0, 255).astype(np.uint8)
+    return buf + rec.tobytes()
 
 
 def encode_pose_stamped(stamp: float, T: np.ndarray,

@@ -32,8 +32,8 @@ import os
 
 import numpy as np
 
-from ..runtime.rosbag import (BagReader, decode_imu, decode_odometry,
-                              decode_pointcloud2)
+from ..runtime.rosbag import (BagReader, decode_imu, decode_livox_custommsg,
+                              decode_odometry, decode_pointcloud2)
 
 
 def convert(bag_path: str, out_dir: str, scan_topic: str | None = None,
@@ -41,6 +41,12 @@ def convert(bag_path: str, out_dir: str, scan_topic: str | None = None,
             odom_topic: str | None = None,
             timestamp_unit: int = -1) -> dict:
     reader = BagReader(bag_path)
+    scan_decoders = {
+        "sensor_msgs/PointCloud2": lambda raw: decode_pointcloud2(
+            raw, timestamp_unit=timestamp_unit),
+        "livox_ros_driver/CustomMsg": decode_livox_custommsg,
+        "livox_ros_driver2/CustomMsg": decode_livox_custommsg,
+    }
     os.makedirs(os.path.join(out_dir, "scans"), exist_ok=True)
     rel_dir = os.path.join(out_dir, "rel_times")
     os.makedirs(rel_dir, exist_ok=True)
@@ -52,13 +58,12 @@ def convert(bag_path: str, out_dir: str, scan_topic: str | None = None,
     n_scan = 0
     have_rel = False
     for topic, mtype, trec, raw in reader.messages():
-        if mtype == "sensor_msgs/PointCloud2" and scan_topic is None:
+        if mtype in scan_decoders and scan_topic is None:
             scan_topic = topic
         if mtype == "sensor_msgs/Imu" and imu_topic is None:
             imu_topic = topic
-        if topic == scan_topic and mtype == "sensor_msgs/PointCloud2":
-            stamp, xyzi, rel = decode_pointcloud2(
-                raw, timestamp_unit=timestamp_unit)
+        if topic == scan_topic and mtype in scan_decoders:
+            stamp, xyzi, rel = scan_decoders[mtype](raw)
             t0 = stamp if t0 is None else min(t0, stamp)
             xyzi.astype(np.float32).tofile(
                 os.path.join(out_dir, "scans", f"{n_scan:06d}.bin"))
@@ -83,8 +88,8 @@ def convert(bag_path: str, out_dir: str, scan_topic: str | None = None,
             odom_rows.append(T[:3].ravel())
             odom_times.append(stamp)
     if n_scan == 0:
-        raise ValueError(f"{bag_path}: no PointCloud2 messages "
-                         f"(scan_topic={scan_topic!r})")
+        raise ValueError(f"{bag_path}: no scan messages (PointCloud2 or "
+                         f"livox CustomMsg; scan_topic={scan_topic!r})")
     if not have_rel:
         # bag carries no usable per-point times: drop the sidecar so run.py
         # falls back to lidar_type-pattern synthesis (utils/sweep.py)

@@ -468,3 +468,101 @@ def test_bag_streaming_odom_drop_accounting(tmp_path, capsys):
     assert rep["mode"] == "bag"
     assert rep["scans"] == 2
     assert rep["dropped_unmatched"] == 1
+
+
+def _livox_bag(path, n_scans=3):
+    """Fixture bag with livox_ros_driver/CustomMsg scans + Imu (the
+    upstream driver's bag layout, /root/reference/.gitmodules:4-6)."""
+    from fast_lio_sam_qn_tpu.runtime.rosbag import encode_livox_custommsg
+
+    rng = np.random.default_rng(1)
+    records = b""
+    records += _conn_record(0, "/livox/lidar", "livox_ros_driver/CustomMsg")
+    records += _conn_record(1, "/livox/imu", "sensor_msgs/Imu")
+    scans = []
+    for i in range(n_scans):
+        t = 50.0 + 0.1 * (i + 1)
+        xyzi = rng.normal(0, 5, (60, 4)).astype(np.float32)
+        xyzi[:, 3] = rng.integers(0, 200, 60)  # u8 reflectivity range
+        rel = np.linspace(0, 0.1, 60).astype(np.float32)
+        scans.append((t, xyzi, rel))
+        records += _msg_record(0, t, encode_livox_custommsg(t, xyzi, rel))
+    for j in range(40):
+        t = 50.0 + 0.01 * j
+        records += _msg_record(
+            1, t, _imu(t, [0.01, 0.02, 0.03], [0.1, 0.2, 9.8]))
+    chunk = _record({"op": b"\x05", "compression": b"none",
+                     "size": struct.pack("<I", len(records))}, records)
+    with open(path, "wb") as f:
+        f.write(b"#ROSBAG V2.0\n")
+        f.write(_record({"op": b"\x03",
+                         "index_pos": struct.pack("<Q", 0),
+                         "conn_count": struct.pack("<I", 2),
+                         "chunk_count": struct.pack("<I", 1)}, b""))
+        f.write(chunk)
+    return scans
+
+
+def test_livox_custommsg_roundtrip():
+    """encode_livox_custommsg -> decode_livox_custommsg: points,
+    reflectivity->intensity, and ns offset_time -> rel seconds."""
+    from fast_lio_sam_qn_tpu.runtime.rosbag import (
+        decode_livox_custommsg, encode_livox_custommsg)
+
+    xyzi = np.arange(24, dtype=np.float32).reshape(6, 4)
+    xyzi[:, 3] = [0, 10, 50, 100, 200, 255]
+    rel = np.linspace(0.0, 0.099, 6).astype(np.float32)
+    stamp, out, relo = decode_livox_custommsg(
+        encode_livox_custommsg(7.25, xyzi, rel))
+    assert abs(stamp - 7.25) < 1e-6
+    np.testing.assert_allclose(out[:, :3], xyzi[:, :3], rtol=1e-6)
+    np.testing.assert_allclose(out[:, 3], xyzi[:, 3])
+    np.testing.assert_allclose(relo, rel, atol=2e-9)  # ns quantization
+    # empty message
+    stamp, out, relo = decode_livox_custommsg(
+        encode_livox_custommsg(1.0, np.zeros((0, 4), np.float32),
+                               np.zeros(0, np.float32)))
+    assert out.shape == (0, 4) and relo.shape == (0,)
+
+
+def test_livox_bag_to_run_end_to_end(tmp_path):
+    """A livox CustomMsg bag streams through run.py --bag with the livox
+    preset end-to-end (true per-point offset_time deskew; round-3 verdict
+    #5 — the last ingestion gap)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    path = str(tmp_path / "livox.bag")
+    _livox_bag(path)
+    env = dict(os.environ)
+    env["FLSQ_PLATFORM"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "fast_lio_sam_qn_tpu.run",
+         "--bag", path, "--preset", "livox",
+         "--no-auto-save", "--scan-cap", "4096",
+         "--table-size", "131072"],
+        env=env, capture_output=True, text=True, timeout=300,
+        cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout)
+    assert rep["scans"] == 3
+    assert rep["scan_topic"] == "/livox/lidar"
+
+
+def test_livox_bag_convert(tmp_path):
+    """bag_convert extracts livox CustomMsg scans with rel_times sidecars."""
+    from fast_lio_sam_qn_tpu.tools.bag_convert import convert
+
+    path = str(tmp_path / "livox.bag")
+    scans = _livox_bag(path)
+    out = tmp_path / "out"
+    report = convert(path, str(out))
+    assert report["scans"] == 3
+    rel = np.load(out / "rel_times" / "000001.npy")
+    np.testing.assert_allclose(rel, scans[1][2], atol=2e-9)
+    from fast_lio_sam_qn_tpu.runtime import read_scan
+
+    s = read_scan(str(out / "scans" / "000001.bin"))
+    np.testing.assert_allclose(s[:, :3], scans[1][1][:, :3], rtol=1e-6)

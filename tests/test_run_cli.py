@@ -262,3 +262,31 @@ def test_run_parity_mesh_devices(kitti_style_dir, tmp_path, capsys):
     report = json.loads(capsys.readouterr().out)
     assert report["mode"] == "parity"
     assert report["keyframes"] >= 1
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/fast_lio_sam_qn/config/config.yaml"),
+    reason="reference tree not present")
+def test_golden_strict_parity_regression(capsys):
+    """Strict-parity golden e2e (round-3 verdict #4): the reference's
+    LITERAL config/config.yaml loaded via load_reference_yaml (effective
+    values incl. the three typo'd keys, every TPU-native robustness gate
+    off — fitness-only acceptance, loop_closure.cpp:129) driving the
+    flagship 240-scan sim. This is the executable stand-in for
+    reference-trajectory parity until real KITTI/MulRan data exists.
+
+    Recorded 2026-08-19 (r4, 8-device CPU mesh): ate_rmse 0.0651 m,
+    35 keyframes, 5 loops committed of 12 attempts — matching the native
+    golden run (0.0652 m), i.e. the robustness gates are inert on this
+    clean sequence and strict parity reproduces reference acceptance."""
+    from fast_lio_sam_qn_tpu.run import main
+
+    rc = main(["--sim", "--n-scans", "240", "--no-auto-save",
+               "--ref-config",
+               "/root/reference/fast_lio_sam_qn/config/config.yaml"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["keyframes"] == 35
+    assert abs(report["ate_rmse_m"] - 0.0651) < 0.2 * 0.0651, report
+    assert 4 <= report["loops_accepted"] <= 8, report
+    assert report["loop_attempts"] == 12, report
