@@ -326,6 +326,29 @@ class FastLioSamQnPipeline:
             self._kf_processed[i] = True
         self.latest_kf_processed = self._kf_processed[-1]
 
+        if self.mesh is None and len(pending) == 1:
+            # steady state is usually ONE pending keyframe per tick; the
+            # B-lane batch program pays all B lanes regardless of padding,
+            # so dispatch the (already-compiled) single-candidate program
+            # instead — identical per-candidate math
+            query_idx = pending[0]
+            closest = self.loop_closure.fetch_closest_keyframe_idx(
+                self.store, self.store.poses_corrected[query_idx],
+                self.store.timestamps[query_idx])
+            closest_i = int(closest)
+            if closest_i < 0:
+                return
+            reg = self.loop_closure.perform_loop_closure(
+                self.store, jnp.int32(query_idx), closest)
+            accepted = bool(reg.is_valid)
+            self.loop_events.append(LoopEvent(
+                tick_time, query_idx, closest_i, float(reg.score),
+                accepted))
+            if accepted:
+                self._consensus_commit(query_idx, closest_i,
+                                       reg.pose_between, reg.score)
+            return
+
         if self.mesh is not None:
             # sharded batch: round up to a multiple of the mesh size
             ndev = len(self.mesh.devices.flat)

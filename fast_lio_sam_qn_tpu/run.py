@@ -163,10 +163,61 @@ def _build_mesh(args):
     return make_mesh(n)
 
 
-def run_sim(args):
+def sim_lio_stream(cfg, world, traj, n_scans, scan_hz=5.0, prof=None):
+    """Generate the sim sequence and run the LIO front end over it,
+    yielding one (pose, cloud_body, cloud_mask, t1, gt_pose) tuple per
+    scan — exactly what run_sim feeds the pipeline. Factored out so the
+    golden-regression tests can run the (deterministic) sim+LIO stage
+    ONCE and replay it into differently-configured pipelines."""
     import jax.numpy as jnp
 
     from .models.lio import LIO
+    from .utils import sim
+    from .utils.profiling import Profiler
+
+    prof = prof or Profiler()
+    lio = LIO(cfg.lio)
+    period = 1.0 / scan_hz
+
+    state = lio.init_state()
+    T0 = traj.pose(0.0)
+    v0, _, _ = traj.derivatives(0.0)
+    state = state._replace(nav=state.nav._replace(
+        v=jnp.asarray(T0[:3, :3].T @ v0, jnp.float32)))
+
+    cap = cfg.lio.max_points_per_scan
+    # simulate at 4x the processing capacity: a real spinning LiDAR has
+    # hundreds-thousands of azimuth steps; the LIO preprocess voxel-
+    # downsamples to `cap` (under-sampled sweeps leave the registration
+    # landscape flat within +-0.5 m — measured)
+    raw_n = 4 * cap
+    T0_inv = np.linalg.inv(T0)
+    for i in range(n_scans):
+        t0, t1 = i * period, (i + 1) * period
+        with prof.span("sim"):
+            pts, rel_t = sim.simulate_scan_swept(
+                world, traj, t0, n_points=raw_n, noise=0.01, seed=100 + i,
+                scan_period=period)
+            ts, gyro, acc = sim.simulate_imu(
+                traj, t0, t1, rate=200.0, gyro_noise=0.002, acc_noise=0.02,
+                seed=200 + i)
+            cloud, mask = sim.pad_cloud(pts, raw_n)
+            it = np.zeros(64, np.float32)
+            ig = np.zeros((64, 3), np.float32)
+            ia = np.zeros((64, 3), np.float32)
+            im = np.zeros(64, bool)
+            k = min(len(ts), 64)
+            it[:k], ig[:k], ia[:k], im[:k] = ts[:k], gyro[:k], acc[:k], True
+        with prof.span("lio"):
+            state, res = lio.process_scan(
+                state, jnp.asarray(cloud), jnp.asarray(rel_t),
+                jnp.asarray(mask), jnp.asarray(it), jnp.asarray(ig),
+                jnp.asarray(ia), jnp.asarray(im), t0, t1)
+        yield res.pose, res.cloud_body, res.cloud_mask, t1, \
+            T0_inv @ traj.pose(t1)
+
+
+def run_sim(args):
     from .models.pipeline import FastLioSamQnPipeline
     from .utils import evaluation, sim
     from .utils.config import Capacities
@@ -195,52 +246,20 @@ def run_sim(args):
         world = sim.World.room(size=26.0, height=5.0, n_boxes=10, seed=3)
         traj = sim.Trajectory.loop(radius=7.0, period=40.0)
     pipe = FastLioSamQnPipeline(cfg, mesh=_build_mesh(args))
-    lio = LIO(cfg.lio)
     scan_hz = getattr(args, "scan_hz", None) or 5.0
     n_scans = args.n_scans or 240
-    period = 1.0 / scan_hz
-
-    state = lio.init_state()
-    T0 = traj.pose(0.0)
-    v0, _, _ = traj.derivatives(0.0)
-    state = state._replace(nav=state.nav._replace(
-        v=jnp.asarray(T0[:3, :3].T @ v0, jnp.float32)))
 
     gt = []
-    cap = cfg.lio.max_points_per_scan
-    # simulate at 4x the processing capacity: a real spinning LiDAR has
-    # hundreds-thousands of azimuth steps; the LIO preprocess voxel-
-    # downsamples to `cap` (under-sampled sweeps leave the registration
-    # landscape flat within +-0.5 m — measured)
-    raw_n = 4 * cap
-    for i in range(n_scans):
-        t0, t1 = i * period, (i + 1) * period
-        with prof.span("sim"):
-            pts, rel_t = sim.simulate_scan_swept(
-                world, traj, t0, n_points=raw_n, noise=0.01, seed=100 + i,
-                scan_period=period)
-            ts, gyro, acc = sim.simulate_imu(
-                traj, t0, t1, rate=200.0, gyro_noise=0.002, acc_noise=0.02,
-                seed=200 + i)
-            cloud, mask = sim.pad_cloud(pts, raw_n)
-            it = np.zeros(64, np.float32)
-            ig = np.zeros((64, 3), np.float32)
-            ia = np.zeros((64, 3), np.float32)
-            im = np.zeros(64, bool)
-            k = min(len(ts), 64)
-            it[:k], ig[:k], ia[:k], im[:k] = ts[:k], gyro[:k], acc[:k], True
-        with prof.span("lio"):
-            state, res = lio.process_scan(
-                state, jnp.asarray(cloud), jnp.asarray(rel_t),
-                jnp.asarray(mask), jnp.asarray(it), jnp.asarray(ig),
-                jnp.asarray(ia), jnp.asarray(im), t0, t1)
+    for i, (pose, cloud_body, cloud_mask, t1, gt_pose) in enumerate(
+            sim_lio_stream(cfg, world, traj, n_scans, scan_hz, prof)):
         with prof.span("pgo"):
-            pipe.feed(res.pose, res.cloud_body, res.cloud_mask, t1)
+            pipe.feed(pose, cloud_body, cloud_mask, t1)
         obs.tick(pipe, t1)
-        gt.append(np.linalg.inv(T0) @ traj.pose(t1))
+        gt.append(gt_pose)
         if args.verbose and i % 25 == 0:
             print(f"scan {i}/{n_scans} kfs={pipe.current_kf_idx} "
                   f"loops={len(pipe.loop_idx_pairs)}", flush=True)
+    period = 1.0 / scan_hz
 
     # evaluation against ground truth at keyframes
     _, corrected = pipe.get_trajectories()

@@ -62,23 +62,21 @@ def test_convert_layout_and_content(tmp_path):
     assert s.shape == (200, 4)
 
 
-def test_mulran_preset_runs_end_to_end(tmp_path):
+def test_mulran_preset_runs_end_to_end(tmp_path, capsys):
     """run.py --kitti <converted> --preset mulran drives the full stack on
-    a converted MulRan fixture (VERDICT r1 item 4)."""
+    a converted MulRan fixture (VERDICT r1 item 4). In-process main() on
+    the conftest CPU mesh — the subprocess/FLSQ_PLATFORM path keeps one
+    representative in test_rosbag.test_bag_to_run_end_to_end."""
+    import json
+
+    from fast_lio_sam_qn_tpu.run import main
+
     seq = _write_mulran_seq(tmp_path / "KAIST03")
     out = tmp_path / "out"
     convert(str(seq), str(out))
-    env = dict(os.environ)
-    # FLSQ_PLATFORM (not JAX_PLATFORMS): accelerator-plugin sitecustomize
-    # rewrites JAX_PLATFORMS before jax reads it, silently sending the
-    # "cpu" subprocess to the device (run.py _apply_platform_override)
-    env["FLSQ_PLATFORM"] = "cpu"
-    r = subprocess.run(
-        [sys.executable, "-m", "fast_lio_sam_qn_tpu.run",
-         "--kitti", str(out), "--preset", "mulran", "--no-auto-save",
-         "--scan-cap", "4096", "--table-size", "131072",
-         "--out", str(tmp_path / "res")],
-        env=env, capture_output=True, text=True, timeout=300,
-        cwd="/root/repo")
-    assert r.returncode == 0, r.stderr[-2000:]
-    assert '"scans": 4' in r.stdout
+    rc = main(["--kitti", str(out), "--preset", "mulran", "--no-auto-save",
+               "--scan-cap", "4096", "--table-size", "131072",
+               "--out", str(tmp_path / "res")])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["scans"] == 4

@@ -22,14 +22,15 @@ def small_config(**loop_overrides):
     return cfg
 
 
-def _run_loop_trajectory(cfg, n_scans=240, drift_per_step=0.004, seed=0):
+def _run_loop_trajectory(cfg, n_scans=240, drift_per_step=0.004, seed=0,
+                         lap_period=40.0):
     """Circular revisiting trajectory with artificially drifting odometry.
 
     Returns (pipeline, gt_kf_poses). Uses the parity input mode: (pose,
     body cloud, timestamp) triples like the reference consumes from
     FAST-LIO."""
     world = sim.World.room(size=26.0, height=5.0, n_boxes=10, seed=3)
-    traj = sim.Trajectory.loop(radius=7.0, period=40.0)
+    traj = sim.Trajectory.loop(radius=7.0, period=lap_period)
     rng = np.random.default_rng(seed)
     pipe = FastLioSamQnPipeline(cfg)
 
@@ -154,25 +155,31 @@ def test_no_loops_without_revisit():
     assert len(pipe.loop_idx_pairs) == 0
 
 
-def test_batched_loop_mode_not_lossy(loop_run):
-    """loop_batch > 0 processes every keyframe (the reference's timer is
-    documented-lossy); results at least as many accepted loops and a sane
-    trajectory."""
-    cfg = small_config()
-    cfg.loop.loop_batch = 2
-    pipe, gt = _run_loop_trajectory(cfg, n_scans=240, seed=0)
-    # every keyframe that existed before the last tick was processed
-    assert all(pipe._kf_processed[:-1])
+def test_batched_loop_mode_not_lossy():
+    """loop_batch > 0 processes EVERY keyframe (the reference's timer
+    inspects only the latest keyframe per tick, silently skipping the
+    rest — documented-lossy, README.md:23); results a sane trajectory.
+
+    Compact variant (round-3 verdict #6, suite-time budget): 20 s lap /
+    12 s timediff gate / 5 m radius (only true revisits gate in) / 1 Hz
+    ticks; ~1.4 keyframes arrive per tick, so the lossy scheduler WOULD
+    skip some while batch=2 covers them all."""
+    cfg = small_config(loop_detection_timediff_threshold=12.0,
+                      loop_detection_radius=5.0, loop_batch=2)
+    cfg.loop_update_hz = 1.0
+    pipe, gt = _run_loop_trajectory(cfg, n_scans=120, seed=0,
+                                    lap_period=20.0)
+    # every keyframe that existed before the last tick was processed —
+    # the not-lossy claim (a lossy scheduler marks only the latest)
+    last_tick = max(e.tick_time for e in pipe.loop_events) \
+        if pipe.loop_events else 0.0
+    n_before = sum(1 for t in pipe.kf_timestamps if t <= last_tick)
+    assert all(pipe._kf_processed[:n_before])
+    assert len({e.query_idx for e in pipe.loop_events}) >= 3
     assert any(e.accepted for e in pipe.loop_events)
     _, corrected = pipe.get_trajectories()
     ate = evaluation.ate_rmse(corrected, gt, align=False)
     assert ate < 0.5, ate
-    # batch mode covers at least as many queries as the lossy run (the
-    # module fixture IS the lossy run: same config/n_scans/seed)
-    lossy_pipe, _ = loop_run
-    q_batch = {e.query_idx for e in pipe.loop_events}
-    q_lossy = {e.query_idx for e in lossy_pipe.loop_events}
-    assert len(q_batch) >= len(q_lossy)
 
 
 def test_gicp_only_mode_fast_lio_sam_n():
@@ -189,9 +196,12 @@ def test_gicp_only_mode_fast_lio_sam_n():
 
 def test_submap_matching_mode():
     """enable_submap_matching=True: submap-to-submap coarse-to-fine
-    (loop_closure.cpp:70-86)."""
-    cfg = small_config(enable_submap_matching=True)
-    pipe, gt = _run_loop_trajectory(cfg, n_scans=240, seed=0)
+    (loop_closure.cpp:70-86). Compact run (20 s lap / 12 s gate):
+    the mode dispatch doesn't need the flagship sequence length."""
+    cfg = small_config(enable_submap_matching=True,
+                      loop_detection_timediff_threshold=12.0)
+    pipe, gt = _run_loop_trajectory(cfg, n_scans=80, seed=0,
+                                    lap_period=20.0)
     # mode runs end-to-end; acceptance may differ from scan modes
     assert len(pipe.loop_events) > 0
     _, corrected = pipe.get_trajectories()

@@ -525,28 +525,23 @@ def test_livox_custommsg_roundtrip():
     assert out.shape == (0, 4) and relo.shape == (0,)
 
 
-def test_livox_bag_to_run_end_to_end(tmp_path):
+def test_livox_bag_to_run_end_to_end(tmp_path, capsys):
     """A livox CustomMsg bag streams through run.py --bag with the livox
     preset end-to-end (true per-point offset_time deskew; round-3 verdict
-    #5 — the last ingestion gap)."""
+    #5 — the last ingestion gap). In-process main() on the conftest CPU
+    mesh; the subprocess path keeps its one representative in
+    test_bag_to_run_end_to_end."""
     import json
-    import os
-    import subprocess
-    import sys
+
+    from fast_lio_sam_qn_tpu.run import main
 
     path = str(tmp_path / "livox.bag")
     _livox_bag(path)
-    env = dict(os.environ)
-    env["FLSQ_PLATFORM"] = "cpu"
-    r = subprocess.run(
-        [sys.executable, "-m", "fast_lio_sam_qn_tpu.run",
-         "--bag", path, "--preset", "livox",
-         "--no-auto-save", "--scan-cap", "4096",
-         "--table-size", "131072"],
-        env=env, capture_output=True, text=True, timeout=300,
-        cwd="/root/repo")
-    assert r.returncode == 0, r.stderr[-2000:]
-    rep = json.loads(r.stdout)
+    rc = main(["--bag", path, "--preset", "livox",
+               "--no-auto-save", "--scan-cap", "4096",
+               "--table-size", "131072"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
     assert rep["scans"] == 3
     assert rep["scan_topic"] == "/livox/lidar"
 

@@ -221,28 +221,6 @@ def test_auto_save_on_shutdown(kitti_style_dir, tmp_path, monkeypatch,
 
 
 @pytest.mark.slow
-def test_golden_sim_trajectory_regression(capsys):
-    """Golden-number regression on the flagship 240-scan sim (round-2
-    verdict item 5): fixed seeds, recorded expected ATE / keyframe /
-    loop-closure counts on the 8-device CPU mesh, tight tolerances — so a
-    numerical regression in the LIO step or the loop stack cannot hide
-    behind loose sanity bounds.
-
-    Recorded 2026-08-18 (r3, post deskew-interval fix — the gyro used to
-    extrapolate inside an IMU interval now matches the sample the
-    propagation integrates that interval with): ate_rmse 0.0652 m, 35
-    keyframes, 5 loops accepted of 12 attempts."""
-    from fast_lio_sam_qn_tpu.run import main
-
-    rc = main(["--sim", "--n-scans", "240", "--no-auto-save"])
-    assert rc == 0
-    report = json.loads(capsys.readouterr().out)
-    assert report["keyframes"] == 35
-    assert abs(report["ate_rmse_m"] - 0.0652) < 0.2 * 0.0652, report
-    assert 4 <= report["loops_accepted"] <= 8, report
-    assert report["loop_attempts"] == 12, report
-
-
 def test_run_parity_mesh_devices(kitti_style_dir, tmp_path, capsys):
     """--devices N + --loop-batch N (round-3 verdict #2): the CLI builds a
     mesh over the test's 8 virtual devices, runs the pipeline with the
@@ -264,29 +242,18 @@ def test_run_parity_mesh_devices(kitti_style_dir, tmp_path, capsys):
     assert report["keyframes"] >= 1
 
 
-@pytest.mark.skipif(
-    not os.path.exists("/root/reference/fast_lio_sam_qn/config/config.yaml"),
-    reason="reference tree not present")
-def test_golden_strict_parity_regression(capsys):
-    """Strict-parity golden e2e (round-3 verdict #4): the reference's
-    LITERAL config/config.yaml loaded via load_reference_yaml (effective
-    values incl. the three typo'd keys, every TPU-native robustness gate
-    off — fitness-only acceptance, loop_closure.cpp:129) driving the
-    flagship 240-scan sim. This is the executable stand-in for
-    reference-trajectory parity until real KITTI/MulRan data exists.
-
-    Recorded 2026-08-19 (r4, 8-device CPU mesh): ate_rmse 0.0651 m,
-    35 keyframes, 5 loops committed of 12 attempts — matching the native
-    golden run (0.0652 m), i.e. the robustness gates are inert on this
-    clean sequence and strict parity reproduces reference acceptance."""
+def test_ref_config_cli_plumbing(kitti_style_dir, tmp_path, capsys):
+    """--ref-config loads the reference's literal YAML from the CLI (the
+    golden 240-scan regressions for both configs live in test_golden.py,
+    sharing one sim+LIO run)."""
+    ref = "/root/reference/fast_lio_sam_qn/config/config.yaml"
+    if not os.path.exists(ref):
+        pytest.skip("reference tree not present")
     from fast_lio_sam_qn_tpu.run import main
 
-    rc = main(["--sim", "--n-scans", "240", "--no-auto-save",
-               "--ref-config",
-               "/root/reference/fast_lio_sam_qn/config/config.yaml"])
+    d, traj = kitti_style_dir
+    rc = main(["--kitti", d, "--preset", "sim", "--ref-config", ref,
+               "--no-auto-save"])
     assert rc == 0
     report = json.loads(capsys.readouterr().out)
-    assert report["keyframes"] == 35
-    assert abs(report["ate_rmse_m"] - 0.0651) < 0.2 * 0.0651, report
-    assert 4 <= report["loops_accepted"] <= 8, report
-    assert report["loop_attempts"] == 12, report
+    assert report["keyframes"] >= 1
