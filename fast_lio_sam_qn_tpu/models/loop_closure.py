@@ -259,7 +259,15 @@ class LoopClosure:
                                               src_cov=src_covs,
                                               dst_cov=dst_covs,
                                               batched=batched)
-        final_T = se3.compose(fine.transform, q.transform)
+        # The committed measurement must be SE(3): with estimating_scale
+        # the coarse transform carries s*R, whose inverse is (1/s)R^T —
+        # composing it into the pose graph would corrupt pose_between /
+        # se3_log downstream (so3_log domain is SO(3)). The similarity
+        # still drives the fine alignment above; the graph gets its rigid
+        # projection. With estimating_scale=False q.scale == 1.0 exactly
+        # (tests/test_quatro.py), so this is a no-op on the default path.
+        q_rigid = q.transform.at[:3, :3].set(q.transform[:3, :3] / q.scale)
+        final_T = se3.compose(fine.transform, q_rigid)
         valid = q.converged & fine_valid
         return final_T, fine.fitness, valid, q
 

@@ -142,7 +142,10 @@ def _get_pipeline_config(args, preset):
         ("map_table_size", getattr(args, "table_size", None))) if v}
     if over:
         cfg.lio = dataclasses.replace(cfg.lio, **over)
-    if getattr(args, "loop_batch", None):
+    if getattr(args, "loop_batch", None) is not None:
+        # an explicit `--loop-batch 0` keeps the reference's lossy
+        # latest-keyframe timer semantics even when --devices builds a
+        # mesh (a falsy check here would let --devices override it)
         cfg.loop.loop_batch = args.loop_batch
     elif getattr(args, "devices", None) and args.devices > 1:
         # a mesh with no explicit batch size: one candidate per device
@@ -400,9 +403,7 @@ def run_bag(args):
 
     from .models.lio import LIO
     from .models.pipeline import FastLioSamQnPipeline
-    from .runtime.rosbag import (BagReader, decode_imu,
-                                 decode_livox_custommsg, decode_odometry,
-                                 decode_pointcloud2)
+    from .runtime.rosbag import BagReader, decode_imu, decode_odometry
     from .utils import sweep
     from .utils.profiling import Profiler
     from .utils.sim import pad_cloud
@@ -418,15 +419,9 @@ def run_bag(args):
         else cfg.caps.keyframe_points
     off = cfg.lio.time_offset_lidar_to_imu
 
-    # scan-carrying message types -> decoders, all returning
-    # (stamp, xyzi (N, 4), rel (N,) seconds); bags recorded by the
-    # upstream Livox driver carry CustomMsg instead of PointCloud2
-    scan_decoders = {
-        "sensor_msgs/PointCloud2": lambda raw: decode_pointcloud2(
-            raw, timestamp_unit=cfg.lio.timestamp_unit),
-        "livox_ros_driver/CustomMsg": decode_livox_custommsg,
-        "livox_ros_driver2/CustomMsg": decode_livox_custommsg,
-    }
+    from .runtime.rosbag import scan_decoders as _scan_decoders
+
+    scan_decoders = _scan_decoders(cfg.lio.timestamp_unit)
 
     if args.odom_topic:
         from .runtime import ApproxTimeSync

@@ -334,6 +334,20 @@ def _rel_time_scale(fname: str, dt: np.dtype, rel: np.ndarray,
     return scale
 
 
+def scan_decoders(timestamp_unit: int = -1) -> dict:
+    """Scan-carrying message types -> decoders, all returning
+    (stamp, xyzi (N, 4), rel (N,) seconds). The single source of truth
+    for which bag message types can feed the pipeline (run.py --bag and
+    tools/bag_convert.py share it); bags recorded by the upstream Livox
+    driver carry CustomMsg instead of PointCloud2."""
+    return {
+        "sensor_msgs/PointCloud2": lambda raw: decode_pointcloud2(
+            raw, timestamp_unit=timestamp_unit),
+        "livox_ros_driver/CustomMsg": decode_livox_custommsg,
+        "livox_ros_driver2/CustomMsg": decode_livox_custommsg,
+    }
+
+
 def decode_livox_custommsg(buf: bytes):
     """livox_ros_driver/CustomMsg -> (stamp, (N, 4) xyzi f32, rel (N,) s).
 
@@ -640,7 +654,16 @@ def encode_livox_custommsg(stamp: float, xyzi: np.ndarray,
     buf += b"\x00" * 3  # rsvd[3]
     buf += struct.pack("<I", n)
     rec = np.zeros((n, 19), np.uint8)
-    off_ns = np.round(np.asarray(rel_s, np.float64) * 1e9).astype(np.uint32)
+    off_ns64 = np.round(np.asarray(rel_s, np.float64) * 1e9).astype(np.int64)
+    if n and (off_ns64.min() < 0 or off_ns64.max() >= 2 ** 32):
+        # the wire format's offset_time is uint32 ns (~4.29 s span);
+        # silently wrapping would corrupt per-point times (and decode's
+        # min-normalization would then shift every other point too)
+        raise ValueError(
+            f"livox CustomMsg offset_time must be in [0, 4.29) s, got "
+            f"[{rel_s.min():.3f}, {rel_s.max():.3f}] s — rel_s must be "
+            f"scan-relative, not absolute")
+    off_ns = off_ns64.astype(np.uint32)
     rec[:, 0:4] = off_ns[:, None].copy().view(np.uint8)
     rec[:, 4:16] = xyzi[:, :3].copy().view(np.uint8).reshape(n, 12)
     rec[:, 16] = np.clip(xyzi[:, 3], 0, 255).astype(np.uint8)

@@ -32,8 +32,8 @@ import os
 
 import numpy as np
 
-from ..runtime.rosbag import (BagReader, decode_imu, decode_livox_custommsg,
-                              decode_odometry, decode_pointcloud2)
+from ..runtime.rosbag import (BagReader, decode_imu, decode_odometry,
+                              scan_decoders as make_scan_decoders)
 
 
 def convert(bag_path: str, out_dir: str, scan_topic: str | None = None,
@@ -41,12 +41,7 @@ def convert(bag_path: str, out_dir: str, scan_topic: str | None = None,
             odom_topic: str | None = None,
             timestamp_unit: int = -1) -> dict:
     reader = BagReader(bag_path)
-    scan_decoders = {
-        "sensor_msgs/PointCloud2": lambda raw: decode_pointcloud2(
-            raw, timestamp_unit=timestamp_unit),
-        "livox_ros_driver/CustomMsg": decode_livox_custommsg,
-        "livox_ros_driver2/CustomMsg": decode_livox_custommsg,
-    }
+    scan_decoders = make_scan_decoders(timestamp_unit)
     os.makedirs(os.path.join(out_dir, "scans"), exist_ok=True)
     rel_dir = os.path.join(out_dir, "rel_times")
     os.makedirs(rel_dir, exist_ok=True)

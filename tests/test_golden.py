@@ -62,6 +62,7 @@ def _replay(cfg, feed):
     return pipe, evaluation.ate_rmse(corrected, np.stack(gt_kf))
 
 
+@pytest.mark.slow
 def test_golden_sim_trajectory_regression(lio_feed):
     """Golden-number regression on the flagship 240-scan sim (round-2
     verdict item 5): fixed seeds, recorded expected ATE / keyframe /
@@ -78,6 +79,7 @@ def test_golden_sim_trajectory_regression(lio_feed):
     assert len(pipe.loop_events) == 12
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not os.path.exists(REF_YAML),
                     reason="reference tree not present")
 def test_golden_strict_parity_regression(lio_feed):

@@ -4,6 +4,7 @@ import bz2
 import struct
 
 import numpy as np
+import pytest
 
 from fast_lio_sam_qn_tpu.runtime.rosbag import (
     BagReader, decode_imu, decode_odometry, decode_pointcloud2)
@@ -523,6 +524,22 @@ def test_livox_custommsg_roundtrip():
         encode_livox_custommsg(1.0, np.zeros((0, 4), np.float32),
                                np.zeros(0, np.float32)))
     assert out.shape == (0, 4) and relo.shape == (0,)
+
+
+def test_livox_custommsg_encode_rejects_out_of_range_rel():
+    """The wire format's offset_time is uint32 ns (~4.29 s span): instead
+    of silently wrapping (which would corrupt per-point times AND shift
+    every other point through decode's min-normalization), the encoder
+    refuses absolute/negative rel values."""
+    from fast_lio_sam_qn_tpu.runtime.rosbag import encode_livox_custommsg
+
+    xyzi = np.ones((3, 4), np.float32)
+    with pytest.raises(ValueError, match="scan-relative"):
+        encode_livox_custommsg(1.0, xyzi,
+                               np.array([0.0, 2.0, 5.0], np.float32))
+    with pytest.raises(ValueError, match="scan-relative"):
+        encode_livox_custommsg(1.0, xyzi,
+                               np.array([-0.1, 0.0, 0.1], np.float32))
 
 
 def test_livox_bag_to_run_end_to_end(tmp_path, capsys):

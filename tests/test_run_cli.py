@@ -242,6 +242,24 @@ def test_run_parity_mesh_devices(kitti_style_dir, tmp_path, capsys):
     assert report["keyframes"] >= 1
 
 
+def test_explicit_loop_batch_zero_survives_devices():
+    """`--loop-batch 0` (the reference's lossy latest-keyframe timer
+    semantics) must not be silently overridden by --devices building a
+    mesh: an explicit 0 is a scheduling-semantics choice, not an unset
+    flag (a falsy check here once replaced it with the device count)."""
+    from types import SimpleNamespace
+
+    from fast_lio_sam_qn_tpu.run import _get_pipeline_config
+
+    args = SimpleNamespace(loop_batch=0, devices=8)
+    cfg = _get_pipeline_config(args, "sim")
+    assert cfg.loop.loop_batch == 0
+    # and absent --loop-batch still defaults to one candidate per device
+    args = SimpleNamespace(loop_batch=None, devices=8)
+    cfg = _get_pipeline_config(args, "sim")
+    assert cfg.loop.loop_batch == 8
+
+
 def test_ref_config_cli_plumbing(kitti_style_dir, tmp_path, capsys):
     """--ref-config loads the reference's literal YAML from the CLI (the
     golden 240-scan regressions for both configs live in test_golden.py,
