@@ -245,7 +245,12 @@ class FastLioSamQnPipeline:
         self.latest_kf_processed = True
         query_idx = self.current_kf_idx - 1
         self._kf_processed[query_idx] = True
+        self._register_single_candidate(tick_time, query_idx)
 
+    def _register_single_candidate(self, tick_time: float, query_idx: int):
+        """Fetch + register + record one query keyframe through the
+        single-candidate program (shared by the lossy latest-keyframe
+        path and the batched scheduler's one-pending fast path)."""
         closest = self.loop_closure.fetch_closest_keyframe_idx(
             self.store, self.store.poses_corrected[query_idx],
             self.store.timestamps[query_idx])
@@ -331,22 +336,7 @@ class FastLioSamQnPipeline:
             # B-lane batch program pays all B lanes regardless of padding,
             # so dispatch the (already-compiled) single-candidate program
             # instead — identical per-candidate math
-            query_idx = pending[0]
-            closest = self.loop_closure.fetch_closest_keyframe_idx(
-                self.store, self.store.poses_corrected[query_idx],
-                self.store.timestamps[query_idx])
-            closest_i = int(closest)
-            if closest_i < 0:
-                return
-            reg = self.loop_closure.perform_loop_closure(
-                self.store, jnp.int32(query_idx), closest)
-            accepted = bool(reg.is_valid)
-            self.loop_events.append(LoopEvent(
-                tick_time, query_idx, closest_i, float(reg.score),
-                accepted))
-            if accepted:
-                self._consensus_commit(query_idx, closest_i,
-                                       reg.pose_between, reg.score)
+            self._register_single_candidate(tick_time, pending[0])
             return
 
         if self.mesh is not None:
