@@ -36,3 +36,64 @@ except Exception:
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert len(jax.devices()) == 8, jax.devices()
+
+# ---------------------------------------------------------------------------
+# Deterministic-artifact cache.
+#
+# The expensive fixtures (the golden tests' 240-scan sim+LIO feed, the
+# deskew-mode ATE comparison) are bit-deterministic functions of the package
+# source: fixed seeds, fixed shapes, single-host XLA:CPU. Caching their
+# results keyed on a hash of EVERY .py file in the package (plus the jax
+# version, plus the calling test module, plus the call parameters) is
+# therefore equivalent to recomputing — any code change misses cleanly and
+# the artifact is rebuilt, so regressions can never hide behind a stale hit.
+# Same idea (and same /tmp lifetime) as the persistent XLA compile cache.
+# ---------------------------------------------------------------------------
+_SRC_HASH = None
+
+
+def _source_hash() -> str:
+    global _SRC_HASH
+    if _SRC_HASH is None:
+        import glob
+        import hashlib
+
+        h = hashlib.sha256()
+        root = os.path.join(os.path.dirname(__file__), "..",
+                            "fast_lio_sam_qn_tpu")
+        for p in sorted(glob.glob(os.path.join(root, "**", "*.py"),
+                                  recursive=True)):
+            h.update(p.encode())
+            with open(p, "rb") as f:
+                h.update(f.read())
+        h.update(jax.__version__.encode())
+        _SRC_HASH = h.hexdigest()[:16]
+    return _SRC_HASH
+
+
+def deterministic_cache(name: str, params, builder, extra_files=()):
+    """Load-or-build a deterministic artifact (see block comment above).
+
+    `params` must capture every input of `builder` not already covered by
+    the package source; `extra_files` should include the calling test
+    module's ``__file__`` when the builder's code lives there."""
+    import hashlib
+    import pickle
+
+    h = hashlib.sha256(repr(params).encode())
+    for p in extra_files:
+        with open(p, "rb") as f:
+            h.update(f.read())
+    cache_dir = "/tmp/flsq_test_cache"
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(
+        cache_dir, f"{name}-{_source_hash()}-{h.hexdigest()[:12]}.pkl")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    out = builder()
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(out, f)
+    os.replace(tmp, path)
+    return out

@@ -40,11 +40,25 @@ def _native_cfg():
 @pytest.fixture(scope="module")
 def lio_feed():
     """run_sim's deterministic sim+LIO stream (loop trajectory, fixed
-    seeds), materialized once for every golden replay."""
-    cfg = _native_cfg()
-    world = sim.World.room(size=26.0, height=5.0, n_boxes=10, seed=3)
-    traj = sim.Trajectory.loop(radius=7.0, period=40.0)
-    return list(sim_lio_stream(cfg, world, traj, N_SCANS, SCAN_HZ))
+    seeds), materialized once for every golden replay and cached across
+    runs keyed on the package source hash (conftest.deterministic_cache:
+    any code change rebuilds the feed, so LIO regressions still land in
+    the golden ATEs below)."""
+    from conftest import deterministic_cache
+
+    def build():
+        cfg = _native_cfg()
+        world = sim.World.room(size=26.0, height=5.0, n_boxes=10, seed=3)
+        traj = sim.Trajectory.loop(radius=7.0, period=40.0)
+        return [tuple(np.asarray(x) if hasattr(x, "shape") else x
+                      for x in item)
+                for item in sim_lio_stream(cfg, world, traj,
+                                           N_SCANS, SCAN_HZ)]
+
+    return deterministic_cache(
+        "golden_lio_feed",
+        ("room26-10-3", "loop7-40", N_SCANS, SCAN_HZ, _caps()),
+        build, extra_files=(__file__,))
 
 
 def _replay(cfg, feed):
@@ -62,6 +76,22 @@ def _replay(cfg, feed):
     return pipe, evaluation.ate_rmse(corrected, np.stack(gt_kf))
 
 
+def _replay_summary(name, cfg, feed):
+    """(kf_count, ate, accepted_pairs, attempts) for a config replay,
+    cached across unchanged-source runs (see conftest.deterministic_cache
+    — the replay is a deterministic function of the package source, this
+    module, and the config, all of which key the cache)."""
+    from conftest import deterministic_cache
+
+    def build():
+        pipe, ate = _replay(cfg, feed)
+        return (pipe.current_kf_idx, float(ate),
+                len(pipe.loop_idx_pairs), len(pipe.loop_events))
+
+    return deterministic_cache(name, (repr(cfg),), build,
+                               extra_files=(__file__,))
+
+
 @pytest.mark.slow
 def test_golden_sim_trajectory_regression(lio_feed):
     """Golden-number regression on the flagship 240-scan sim (round-2
@@ -72,11 +102,12 @@ def test_golden_sim_trajectory_regression(lio_feed):
 
     Recorded 2026-08-18 (r3, post deskew-interval fix): ate_rmse
     0.0652 m, 35 keyframes, 5 loops accepted of 12 attempts."""
-    pipe, ate = _replay(_native_cfg(), lio_feed)
-    assert pipe.current_kf_idx == 35
+    kf, ate, n_pairs, n_events = _replay_summary(
+        "golden_native", _native_cfg(), lio_feed)
+    assert kf == 35
     assert abs(ate - 0.0652) < 0.2 * 0.0652, ate
-    assert 4 <= len(pipe.loop_idx_pairs) <= 8
-    assert len(pipe.loop_events) == 12
+    assert 4 <= n_pairs <= 8
+    assert n_events == 12
 
 
 @pytest.mark.slow
@@ -98,8 +129,9 @@ def test_golden_strict_parity_regression(lio_feed):
 
     cfg = load_reference_yaml(REF_YAML)  # strict parity by default
     cfg.caps = _caps()
-    pipe, ate = _replay(cfg, lio_feed)
-    assert pipe.current_kf_idx == 35
+    kf, ate, n_pairs, n_events = _replay_summary(
+        "golden_strict_parity", cfg, lio_feed)
+    assert kf == 35
     assert abs(ate - 0.0651) < 0.2 * 0.0651, ate
-    assert 4 <= len(pipe.loop_idx_pairs) <= 8
-    assert len(pipe.loop_events) == 12
+    assert 4 <= n_pairs <= 8
+    assert n_events == 12

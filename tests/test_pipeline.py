@@ -164,21 +164,31 @@ def test_batched_loop_mode_not_lossy():
     12 s timediff gate / 5 m radius (only true revisits gate in) / 1 Hz
     ticks; ~1.4 keyframes arrive per tick, so the lossy scheduler WOULD
     skip some while batch=2 covers them all."""
-    cfg = small_config(loop_detection_timediff_threshold=12.0,
-                      loop_detection_radius=5.0, loop_batch=2)
-    cfg.loop_update_hz = 1.0
-    pipe, gt = _run_loop_trajectory(cfg, n_scans=120, seed=0,
-                                    lap_period=20.0)
+    from conftest import deterministic_cache
+
+    def build():
+        cfg = small_config(loop_detection_timediff_threshold=12.0,
+                          loop_detection_radius=5.0, loop_batch=2)
+        cfg.loop_update_hz = 1.0
+        pipe, gt = _run_loop_trajectory(cfg, n_scans=120, seed=0,
+                                        lap_period=20.0)
+        last_tick = max(e.tick_time for e in pipe.loop_events) \
+            if pipe.loop_events else 0.0
+        n_before = sum(1 for t in pipe.kf_timestamps if t <= last_tick)
+        _, corrected = pipe.get_trajectories()
+        return (bool(all(pipe._kf_processed[:n_before])),
+                len({e.query_idx for e in pipe.loop_events}),
+                bool(any(e.accepted for e in pipe.loop_events)),
+                float(evaluation.ate_rmse(corrected, gt, align=False)))
+
+    all_processed, n_queries, accepted, ate = deterministic_cache(
+        "pipeline_batched_loop", ("batch2-120-20s",), build,
+        extra_files=(__file__,))
     # every keyframe that existed before the last tick was processed —
     # the not-lossy claim (a lossy scheduler marks only the latest)
-    last_tick = max(e.tick_time for e in pipe.loop_events) \
-        if pipe.loop_events else 0.0
-    n_before = sum(1 for t in pipe.kf_timestamps if t <= last_tick)
-    assert all(pipe._kf_processed[:n_before])
-    assert len({e.query_idx for e in pipe.loop_events}) >= 3
-    assert any(e.accepted for e in pipe.loop_events)
-    _, corrected = pipe.get_trajectories()
-    ate = evaluation.ate_rmse(corrected, gt, align=False)
+    assert all_processed
+    assert n_queries >= 3
+    assert accepted
     assert ate < 0.5, ate
 
 
@@ -186,11 +196,19 @@ def test_gicp_only_mode_fast_lio_sam_n():
     """enable_quatro=False is the FAST-LIO-SAM-N variant (BASELINE.md row 2):
     scan-to-submap GICP-only loop closure ("empirically works better",
     loop_closure.cpp:96-97). The pipeline must still close loops."""
-    cfg = small_config(enable_quatro=False)
-    pipe, gt = _run_loop_trajectory(cfg, n_scans=240, seed=0)
-    assert any(e.accepted for e in pipe.loop_events), pipe.loop_events
-    _, corrected = pipe.get_trajectories()
-    ate = evaluation.ate_rmse(corrected, gt, align=False)
+    from conftest import deterministic_cache
+
+    def build():
+        cfg = small_config(enable_quatro=False)
+        pipe, gt = _run_loop_trajectory(cfg, n_scans=240, seed=0)
+        _, corrected = pipe.get_trajectories()
+        return (bool(any(e.accepted for e in pipe.loop_events)),
+                float(evaluation.ate_rmse(corrected, gt, align=False)))
+
+    accepted, ate = deterministic_cache(
+        "pipeline_gicp_only", ("noquatro-240",), build,
+        extra_files=(__file__,))
+    assert accepted
     assert ate < 0.5, ate
 
 
@@ -198,14 +216,22 @@ def test_submap_matching_mode():
     """enable_submap_matching=True: submap-to-submap coarse-to-fine
     (loop_closure.cpp:70-86). Compact run (20 s lap / 12 s gate):
     the mode dispatch doesn't need the flagship sequence length."""
-    cfg = small_config(enable_submap_matching=True,
-                      loop_detection_timediff_threshold=12.0)
-    pipe, gt = _run_loop_trajectory(cfg, n_scans=80, seed=0,
-                                    lap_period=20.0)
+    from conftest import deterministic_cache
+
+    def build():
+        cfg = small_config(enable_submap_matching=True,
+                          loop_detection_timediff_threshold=12.0)
+        pipe, gt = _run_loop_trajectory(cfg, n_scans=80, seed=0,
+                                        lap_period=20.0)
+        _, corrected = pipe.get_trajectories()
+        return (len(pipe.loop_events),
+                float(evaluation.ate_rmse(corrected, gt, align=False)))
+
+    n_events, ate = deterministic_cache(
+        "pipeline_submap_mode", ("submap-80-20s",), build,
+        extra_files=(__file__,))
     # mode runs end-to-end; acceptance may differ from scan modes
-    assert len(pipe.loop_events) > 0
-    _, corrected = pipe.get_trajectories()
-    ate = evaluation.ate_rmse(corrected, gt, align=False)
+    assert n_events > 0
     assert ate < 1.0, ate
 
 
