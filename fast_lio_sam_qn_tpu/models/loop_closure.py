@@ -269,6 +269,13 @@ class LoopClosure:
         q_rigid = q.transform.at[:3, :3].set(q.transform[:3, :3] / q.scale)
         final_T = se3.compose(fine.transform, q_rigid)
         valid = q.converged & fine_valid
+        if qc.estimating_scale:
+            # the committed factor is the rigid projection of the
+            # similarity; when s deviates from 1 that factor is biased by
+            # ~(s-1)*||p|| on world-frame points even though the fine
+            # fitness (scored on the scale-applied cloud) looks fine.
+            # True loops between rigid scans have s ~ 1 — gate the rest.
+            valid = valid & (jnp.abs(q.scale - 1.0) <= qc.scale_gate)
         return final_T, fine.fitness, valid, q
 
     def perform_loop_closure(self, store: KeyframeStore, query_idx,
@@ -285,21 +292,40 @@ class LoopClosure:
         mesh: optional jax.sharding.Mesh — shards the candidate batch over
         its devices (B must divide by the mesh size; pad with -1 slots)."""
         if mesh is not None and len(mesh.devices.flat) > 1:
+            # the jitted sharded program is cached per mesh
+            # (_get_sharded_batch_fn): rebuilding the vmapped callable
+            # every tick would defeat the jit cache and re-trace the whole
+            # FPFH+Quatro+GICP program each call. Keyed by the Mesh itself
+            # (hashable): an id() key could alias a dead mesh's address
+            # and return a stale program.
+            return self._get_sharded_batch_fn(mesh)(
+                store, query_idxs, closest_idxs)
+        return self._perform_batch_jit(store, query_idxs, closest_idxs)
+
+    def _get_sharded_batch_fn(self, mesh):
+        fn = self._sharded_batch_cache.get(mesh)
+        if fn is None:
             from ..parallel import spmd
 
-            # cache the jitted sharded program per mesh: rebuilding the
-            # vmapped callable every tick would defeat the jit cache and
-            # re-trace the whole FPFH+Quatro+GICP program each call.
-            # Keyed by the Mesh itself (hashable): an id() key could alias
-            # a dead mesh's address and return a stale program.
-            fn = self._sharded_batch_cache.get(mesh)
-            if fn is None:
-                fn = spmd.make_sharded_loop_closure_batch(
-                    mesh, functools.partial(self._perform_impl,
-                                            batched=True))
-                self._sharded_batch_cache[mesh] = fn
-            return fn(store, query_idxs, closest_idxs)
-        return self._perform_batch_jit(store, query_idxs, closest_idxs)
+            fn = spmd.make_sharded_loop_closure_batch(
+                mesh, functools.partial(self._perform_impl, batched=True))
+            self._sharded_batch_cache[mesh] = fn
+        return fn
+
+    def warm_batch(self, store: KeyframeStore, batch: int, mesh=None):
+        """AOT-compile (lower().compile(), no execution) the B-lane batched
+        registration program for this store shape, warming the jit dispatch
+        cache. Called at pipeline init when loop_batch > 1: the
+        single-pending fast path otherwise defers the batch program's first
+        compile to the first tick with >=2 pending keyframes — a
+        multi-second stall at an unpredictable point of a live TPU run."""
+        qidx = jnp.zeros(batch, jnp.int32)
+        cidx = jnp.full((batch,), -1, jnp.int32)
+        if mesh is not None and len(mesh.devices.flat) > 1:
+            fn = self._get_sharded_batch_fn(mesh)
+        else:
+            fn = self._perform_batch_jit
+        fn.lower(store, qidx, cidx).compile()
 
     def _perform_impl(self, store: KeyframeStore, query_idx,
                       closest_idx, batched=False) -> RegistrationOutput:

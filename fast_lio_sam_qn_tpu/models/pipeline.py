@@ -89,12 +89,35 @@ class FastLioSamQnPipeline:
         self.last_kf_corrected = jnp.eye(4)
         self.current_kf_idx = 0
         self.loop_added_flag = False
+        # observability: how many per-keyframe solves took the factor-
+        # sharded SPMD branch (spmd.pgo_optimize_full) vs single-device
+        # (the multichip dryrun asserts the sharded branch engages)
+        self.pgo_sharded_solves = 0
+        self.pgo_single_solves = 0
+        # most loop factors present in the graph during any sharded solve
+        # (proves real loop factors flowed through the SPMD solver)
+        self.pgo_sharded_loop_factors_max = 0
         self.latest_kf_processed = True
         self._kf_processed: List[bool] = []  # per-keyframe (batch mode)
         self._next_loop_tick: Optional[float] = None
 
         # consensus gating: accepted-but-uncommitted loops
         self._pending_loops: List[dict] = []
+
+        if c.loop.loop_batch > 1:
+            # AOT-warm the B-lane batch program now: the single-pending
+            # fast path (_loop_tick_batched) otherwise defers its first
+            # compile to the first tick with >=2 pending keyframes — a
+            # multi-second mid-run stall on the real TPU
+            self.loop_closure.warm_batch(
+                self.store, self._batch_lanes(c.loop.loop_batch),
+                mesh=self.mesh)
+
+        # latest fed scan (device refs, no copy): the per-frame
+        # /corrected_current_pcd product (fast_lio_sam_qn.cpp:104)
+        self._last_cloud_body = None
+        self._last_cloud_mask = None
+        self._last_corrected = None
 
         # observability (host-side)
         self.realtime_poses: List[np.ndarray] = []  # /pose_stamped stream
@@ -138,6 +161,9 @@ class FastLioSamQnPipeline:
             # single transfer instead of two blocking round-trips
             corrected_np, dist_np = jax.device_get((corrected_current, dist))
             self.realtime_poses.append(corrected_np)
+            self._last_cloud_body = cloud_body
+            self._last_cloud_mask = cloud_mask
+            self._last_corrected = corrected_current
 
         if not self.initialized:
             self._add_keyframe(pose, pose, cloud_body,
@@ -210,10 +236,14 @@ class FastLioSamQnPipeline:
                 self.mesh, self.graph, self._prior_var, self._odom_var,
                 gn_iters=gn, pcg_iters=64,
                 robust_delta=self.cfg.robust_delta)
+            self.pgo_sharded_solves += 1
+            self.pgo_sharded_loop_factors_max = max(
+                self.pgo_sharded_loop_factors_max, len(self.loop_idx_pairs))
         else:
             self.graph = pgo.optimize(
                 self.graph, self._prior_var, self._odom_var, gn_iters=gn,
                 pcg_iters=64, robust_delta=self.cfg.robust_delta)
+            self.pgo_single_solves += 1
         n = self.current_kf_idx
         last = self.graph.poses[n - 1]
         self.last_corrected_pose = last
@@ -322,6 +352,15 @@ class FastLioSamQnPipeline:
         self.loop_idx_pairs.append((query_idx, closest_i))
         self.loop_added_flag = True
 
+    def _batch_lanes(self, batch: int) -> int:
+        """Static lane count of the batched registration program: with a
+        mesh, rounded up to a multiple of the mesh size (pad slots carry
+        closest_idx = -1)."""
+        if self.mesh is not None:
+            ndev = len(self.mesh.devices.flat)
+            batch = -(-batch // ndev) * ndev
+        return batch
+
     def _loop_tick_batched(self, tick_time: float, batch: int):
         pending = [i for i, p in enumerate(self._kf_processed) if not p]
         pending = pending[:batch]
@@ -339,10 +378,7 @@ class FastLioSamQnPipeline:
             self._register_single_candidate(tick_time, pending[0])
             return
 
-        if self.mesh is not None:
-            # sharded batch: round up to a multiple of the mesh size
-            ndev = len(self.mesh.devices.flat)
-            batch = -(-batch // ndev) * ndev
+        batch = self._batch_lanes(batch)
         qidx = np.zeros(batch, np.int32)
         qidx[: len(pending)] = pending
         qposes = self.store.poses_corrected[jnp.asarray(qidx)]
@@ -376,6 +412,21 @@ class FastLioSamQnPipeline:
         n = self.current_kf_idx
         return (np.stack(self.odom_poses) if n else np.zeros((0, 4, 4)),
                 np.asarray(self.graph.poses[:n]))
+
+    def get_corrected_current_scan(self):
+        """World-frame points of the LATEST fed scan at the realtime
+        corrected pose — the per-callback /corrected_current_pcd product
+        (fast_lio_sam_qn.cpp:104: transformPcd(current_frame_.pcd_,
+        corrected)). Published every frame upstream, keyframe or not;
+        exposed pull-style like the other vis products. Returns (K, 3)
+        numpy (valid points only; empty before the first feed)."""
+        if self._last_cloud_body is None:
+            return np.zeros((0, 3), np.float32)
+        world = se3.transform_points(
+            jnp.asarray(self._last_cloud_body, jnp.float32),
+            self._last_corrected)
+        m = np.asarray(self._last_cloud_mask)
+        return np.asarray(world)[m]
 
     def get_corrected_keyframe_poses(self):
         n = self.current_kf_idx

@@ -289,6 +289,12 @@ def estimate_scale_tims(s_pts, d_pts, inliers, noise_bound: jax.Array):
     n_votes = counts[best]
     scale = jnp.sum(jnp.where(sel, ratio, 0.0)) / jnp.maximum(
         jnp.sum(sel), 1)
+    # sane-band clamp: a degenerate consensus window (tiny dst TIM norms
+    # with wide alpha windows) can vote a near-zero scale; dividing that
+    # out downstream (covariance rotation, rigid graph projection) would
+    # emit inf/NaN without tripping converged. Real inter-scan scale in
+    # this system is ~1; anything outside [0.05, 20] is noise.
+    scale = jnp.clip(scale, 0.05, 20.0)
     return jnp.where(n_votes >= 2, scale, 1.0), n_votes
 
 

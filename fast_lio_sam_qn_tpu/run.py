@@ -105,6 +105,10 @@ class RunObservers:
         if n == 0:
             return
         odom, corrected = pipe.get_trajectories()
+        # latest corrected scan — the /corrected_current_pcd per-frame
+        # product (fast_lio_sam_qn.cpp:104), at the watch cadence
+        _io.save_pcd(os.path.join(self.watch, "corrected_current.pcd"),
+                     pipe.get_corrected_current_scan())
         _io.save_poses_kitti(
             os.path.join(self.watch, "corrected_path.txt"), corrected)
         _io.save_poses_kitti(

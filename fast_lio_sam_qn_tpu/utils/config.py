@@ -86,6 +86,12 @@ class QuatroConfig:
     # rigid (R, t) — TEASER-style TLS scale estimation (ops/quatro.py
     # estimate_scale_tims) runs before the de-scaled clique
     estimating_scale: bool = False
+    # acceptance gate on |scale - 1| when estimating_scale is on: the graph
+    # factor is the RIGID projection of the similarity (see PARITY.md), so
+    # a loop whose estimated scale strays from 1 would commit a measurement
+    # biased ~ (s-1)*||p|| on world-frame points. True loop closures
+    # between rigid LiDAR scans have s ~ 1; reject the rest.
+    scale_gate: float = 0.1
     noise_bound: float = 0.3
     rot_gnc_factor: float = 1.4
     rot_cost_diff_thr: float = 1e-4
@@ -374,4 +380,24 @@ def load_lio_yaml(path_or_dict, base: Optional[LioConfig] = None) -> LioConfig:
     ext_r = _lookup(tree, "mapping/extrinsic_R", None)
     if ext_r is not None:
         lio.extrinsic_R = tuple(float(v) for v in ext_r)
+    # Non-inert FAST-LIO keys this front end does not implement: WARN when
+    # a ported upstream YAML enables one, so it cannot silently no-op.
+    # Both are `false` in all five reference presets
+    # (fastlio_config_launch/*.yaml), so effective parity holds; the inert
+    # ignored keys (scan_rate, fov_degree, publish:/pcd_save: blocks) are
+    # documented in PARITY.md "Known divergences".
+    import warnings
+
+    if bool(_lookup(tree, "mapping/extrinsic_est_en", False)):
+        warnings.warn(
+            "mapping/extrinsic_est_en: true is not implemented — the "
+            "LiDAR-IMU extrinsic stays fixed at extrinsic_T/extrinsic_R "
+            "(it is false in every reference preset; see PARITY.md)",
+            stacklevel=2)
+    if bool(_lookup(tree, "common/time_sync_en", False)):
+        warnings.warn(
+            "common/time_sync_en: true is not implemented — for a known "
+            "inter-sensor offset set common/time_offset_lidar_to_imu "
+            "(it is false in every reference preset; see PARITY.md)",
+            stacklevel=2)
     return lio

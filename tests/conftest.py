@@ -84,8 +84,16 @@ def deterministic_cache(name: str, params, builder, extra_files=()):
     for p in extra_files:
         with open(p, "rb") as f:
             h.update(f.read())
+    # pickle.load() of a world-shared path is an arbitrary-code-execution
+    # hazard on a multi-user box: only trust a directory we own, locked to
+    # 0o700 (and fall back to a uid-suffixed path when someone else
+    # pre-created the shared name)
     cache_dir = "/tmp/flsq_test_cache"
-    os.makedirs(cache_dir, exist_ok=True)
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    if os.stat(cache_dir).st_uid != os.getuid():
+        cache_dir = f"/tmp/flsq_test_cache_{os.getuid()}"
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    os.chmod(cache_dir, 0o700)
     path = os.path.join(
         cache_dir, f"{name}-{_source_hash()}-{h.hexdigest()[:12]}.pkl")
     if os.path.exists(path):

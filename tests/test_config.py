@@ -212,3 +212,25 @@ def test_lio_yaml_loads_timestamp_and_offset_keys():
     base = load_lio_yaml({})
     assert base.timestamp_unit == -1
     assert base.time_offset_lidar_to_imu == 0.0
+
+
+def test_lio_yaml_warns_on_unimplemented_keys():
+    """A ported upstream YAML enabling extrinsic_est_en / time_sync_en must
+    WARN (those FAST-LIO capabilities are not implemented — PARITY.md); the
+    reference presets (both false, kitti.yaml:4,22) must stay silent."""
+    import warnings
+
+    import pytest
+
+    from fast_lio_sam_qn_tpu.utils.config import load_lio_yaml
+
+    with pytest.warns(UserWarning, match="extrinsic_est_en"):
+        load_lio_yaml({"mapping": {"extrinsic_est_en": True}})
+    with pytest.warns(UserWarning, match="time_sync_en"):
+        load_lio_yaml({"common": {"time_sync_en": True}})
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        load_lio_yaml({"common": {"time_sync_en": False},
+                       "mapping": {"extrinsic_est_en": False,
+                                   "fov_degree": 180},
+                       "preprocess": {"scan_rate": 10}})

@@ -97,6 +97,28 @@ def test_loop_closure_improves_ate(loop_run):
     assert abs(ate_corr - 0.1526) < 0.3 * 0.1526, (ate_odom, ate_corr)
 
 
+def test_corrected_current_scan(loop_run):
+    """The per-frame /corrected_current_pcd product
+    (fast_lio_sam_qn.cpp:104): the latest fed body cloud at the realtime
+    corrected pose, pull-style."""
+    pipe, gt = loop_run
+    pts = pipe.get_corrected_current_scan()
+    assert pts.shape[1] == 3 and len(pts) > 100
+    # world-frame: points must sit near the last realtime pose (scan range
+    # is bounded by the 26 m sim room), not at the body-frame origin
+    last = pipe.realtime_poses[-1][:3, 3]
+    d = np.linalg.norm(pts - last[None], axis=-1)
+    assert float(np.median(d)) < 30.0
+    # matches transforming the stored body cloud by the realtime pose
+    ref = (np.asarray(pipe._last_cloud_body)[np.asarray(
+        pipe._last_cloud_mask)] @ pipe.realtime_poses[-1][:3, :3].T
+        + last[None])
+    assert np.allclose(pts, ref, atol=1e-4)
+    # empty before any feed
+    empty = FastLioSamQnPipeline(small_config())
+    assert empty.get_corrected_current_scan().shape == (0, 3)
+
+
 def test_timediff_gate_blocks_recent(loop_run):
     pipe, gt = loop_run
     for e in pipe.loop_events:

@@ -248,3 +248,22 @@ def test_estimating_scale():
                         distance_threshold=jnp.float32(100.0),
                         max_corres=256, rot_max_iter=50)
     assert float(res0.scale) == 1.0
+
+
+def test_estimate_scale_degenerate_clamped():
+    """A degenerate consensus window (near-coincident dst points -> tiny TIM
+    norms -> ratios near 0 with wide alpha windows) must yield a finite,
+    clamped scale: dividing a ~0 scale out of the transform downstream would
+    emit inf/NaN without tripping converged (advisor r4)."""
+    rng = np.random.default_rng(3)
+    n = 64
+    s_pts = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+    # dst collapsed to a ~1 mm blob: every ratio |w|/|v| ~ 0 while the
+    # per-candidate alpha windows (2*nb/|v|) stay wide enough to agree
+    d_pts = (1e-3 * rng.standard_normal((n, 3))).astype(np.float32)
+    scale, votes = quatro.estimate_scale_tims(
+        jnp.asarray(s_pts), jnp.asarray(d_pts), jnp.ones(n, bool),
+        jnp.float32(0.3))
+    s = float(scale)
+    assert np.isfinite(s)
+    assert 0.05 <= s <= 20.0, s

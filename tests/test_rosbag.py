@@ -578,3 +578,21 @@ def test_livox_bag_convert(tmp_path):
 
     s = read_scan(str(out / "scans" / "000001.bin"))
     np.testing.assert_allclose(s[:, :3], scans[1][1][:, :3], rtol=1e-6)
+
+
+def test_ingest_throughput_sustains_realtime(tmp_path):
+    """The host-side --bag ingestion path (read + decode + pack, no device)
+    must sustain well over the 10 Hz sensor rate for both wire formats —
+    a LOOSE band (>= 3x) so a CI box sharing its single vCPU cannot flake
+    it, while a 10-100x host-shim regression still fails. Full-size
+    numbers: tools/profile_ingest.py (recorded in PARITY.md)."""
+    from fast_lio_sam_qn_tpu.tools.profile_ingest import (build_fixture_bag,
+                                                          ingest)
+
+    for fmt in ("pointcloud2", "livox"):
+        path = str(tmp_path / f"{fmt}.bag")
+        build_fixture_bag(path, fmt, n_scans=30, n_points=8192)
+        n, dt = ingest(path, cap=4096)
+        assert n == 30
+        rate = n / dt
+        assert rate > 30.0, f"{fmt}: {rate:.1f} scans/s"

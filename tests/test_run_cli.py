@@ -175,6 +175,8 @@ def test_watch_and_save_trigger(kitti_style_dir, tmp_path, capsys):
     assert (watch / "corrected_path.txt").exists()
     assert (watch / "odom_path.txt").exists()
     assert (watch / "loops.json").exists()
+    # per-frame corrected current scan (fast_lio_sam_qn.cpp:104)
+    assert (watch / "corrected_current.pcd").exists()
     assert not trig.exists()  # consumed
     assert (watch / "corrected_map.pcd").exists()  # map served
     assert not (watch / "map.request").exists()    # and re-armed
