@@ -201,6 +201,158 @@ def _assert_vmap_parity(src, dst):
                 f"field {name} maxdiff {diff}")
 
 
+N_PREFILL_KF = 256   # active keyframes before the measured window
+N_LIVE = 80          # live scans (first PIPE_WARM warm the compiles)
+PIPE_WARM = 20
+
+
+def pipeline_per_scan(null_ms, n_prefill=N_PREFILL_KF, n_live=N_LIVE,
+                      warm=PIPE_WARM, lio_scan_cap=None, kf_cap=512):
+    """Whole-PRODUCT per-scan cost on the chip (round-4 verdict item 1):
+    LIO step + keyframe voxelize/append + per-keyframe pgo.optimize +
+    amortized loop-tick share + host-loop overhead, measured as wall clock
+    over a steady-state window of the real pipeline with >= 256 active
+    keyframes — the repo's answer to the reference's whole-run table
+    (/root/reference/README.md:17-23) and the proof the 10 Hz budget holds
+    for the product, not just its parts.
+
+    Setup: kitti-preset LIO (32k-pt scans, 2^19-slot map; identity
+    extrinsics — the sim IMU rides the body frame) on a revisiting circle.
+    The keyframe store is pre-filled by driving 256 keyframes of history
+    through the pipeline itself (external-odometry feeds along earlier
+    laps, timestamps < -30 s so every prefill keyframe passes the loop
+    timediff gate), then the live window runs the full LIO+PGO product at
+    10 Hz with loop ticks registering against the history. Live scan/IMU
+    data is pre-generated and device-resident before timing (host sim-gen
+    and tunnel H2D are not product cost); each feed ends in the pipeline's
+    one-pull-per-scan host read, so wall clock is honest per CLAUDE.md.
+
+    Returns a dict of JSON keys (pipeline_ms_per_scan etc.)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from fast_lio_sam_qn_tpu.configs.presets import LIO_PRESETS
+    from fast_lio_sam_qn_tpu.models.lio import LIO
+    from fast_lio_sam_qn_tpu.models.pipeline import FastLioSamQnPipeline
+    from fast_lio_sam_qn_tpu.utils import sim
+    from fast_lio_sam_qn_tpu.utils.config import Capacities, PipelineConfig
+    from fast_lio_sam_qn_tpu.utils.profiling import Profiler
+
+    cfg = PipelineConfig()
+    cfg.caps = Capacities(max_keyframes=kf_cap, max_loop_factors=256,
+                          keyframe_points=2048, src_points=2048,
+                          dst_points=4096)
+    cfg.lio = dataclasses.replace(
+        LIO_PRESETS["kitti"], extrinsic_T=(0.0, 0.0, 0.0),
+        extrinsic_R=(1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+    if lio_scan_cap:  # smoke-test scale (tests/CPU)
+        cfg.lio = dataclasses.replace(
+            cfg.lio, max_points_per_scan=lio_scan_cap,
+            map_table_size=1 << 17)
+
+    speed = 4.0
+    radius = 15.0  # whole circle within the 35 m loop radius
+    lap = 2.0 * np.pi * radius
+    traj = sim.Trajectory.loop(radius=radius, period=lap / speed)
+    world = sim.World.room(size=80.0, height=6.0, n_boxes=24, seed=11)
+    T0 = traj.pose(0.0)
+    T0_inv = np.linalg.inv(T0)
+
+    pipe = FastLioSamQnPipeline(cfg, profiler=Profiler())
+
+    # --- prefill: 256 keyframes of history along earlier laps ---
+    import jax.numpy as _j
+
+    step_t = 1.6 / speed  # 1.6 m spacing > the 1.5 m keyframe gate
+    t_pre = -(n_prefill + 1) * step_t - 31.0  # clear the 30 s timediff
+    for k in range(n_prefill):
+        t = t_pre + k * step_t
+        Tk = traj.pose(t)
+        scan, _ = sim.simulate_scan(world, Tk, n_points=8192, noise=0.01,
+                                    seed=500 + k)
+        cloud, mask = sim.pad_cloud(scan, 8192)
+        pipe.feed(_j.asarray(T0_inv @ Tk, _j.float32), _j.asarray(cloud),
+                  _j.asarray(mask), float(t))
+    assert pipe.current_kf_idx >= n_prefill, pipe.current_kf_idx
+
+    # --- pre-generate the live 10 Hz window (device-resident) ---
+    lio = LIO(cfg.lio)
+    state = lio.init_state()
+    v0, _, _ = traj.derivatives(0.0)
+    state = state._replace(nav=state.nav._replace(
+        v=_j.asarray(T0[:3, :3].T @ v0, _j.float32)))
+    cap = cfg.lio.max_points_per_scan
+    raw_n = 4 * cap
+    period = 0.1
+    feeds = []
+    for i in range(n_live):
+        t0g, t1g = i * period, (i + 1) * period
+        pts, rel_t = sim.simulate_scan_swept(
+            world, traj, t0g, n_points=raw_n, noise=0.01, seed=700 + i,
+            scan_period=period)
+        ts, gyro, acc = sim.simulate_imu(
+            traj, t0g, t1g, rate=200.0, gyro_noise=0.002, acc_noise=0.02,
+            seed=800 + i)
+        cloud, mask = sim.pad_cloud(pts, raw_n)
+        it = np.zeros(64, np.float32)
+        ig = np.zeros((64, 3), np.float32)
+        ia = np.zeros((64, 3), np.float32)
+        im = np.zeros(64, bool)
+        kk = min(len(ts), 64)
+        it[:kk], ig[:kk], ia[:kk], im[:kk] = ts[:kk], gyro[:kk], acc[:kk], 1
+        feeds.append(tuple(map(_j.asarray, (
+            cloud, rel_t, mask, it, ig, ia, im))) + (t0g, t1g))
+
+    def one_scan(state, f):
+        cloud, rel_t, mask, it, ig, ia, im, t0g, t1g = f
+        state, res = lio.process_scan(state, cloud, rel_t, mask,
+                                      it, ig, ia, im, t0g, t1g)
+        pipe.feed(res.pose, res.cloud_body, res.cloud_mask, t1g)
+        return state
+
+    for f in feeds[:warm]:  # warm window: compiles + cache
+        state = one_scan(state, f)
+
+    live_prof = Profiler()
+    pipe.profiler = live_prof
+    kf0, att0 = pipe.current_kf_idx, len(pipe.loop_events)
+    t0 = time.perf_counter()
+    for f in feeds[warm:]:
+        state = one_scan(state, f)
+    # force completion of the last scan's trailing (post-pull) dispatches
+    float(jnp.sum(pipe.graph.poses[pipe.current_kf_idx - 1]))
+    wall_ms = (time.perf_counter() - t0) * 1e3
+    n_timed = n_live - warm
+    ms = wall_ms / n_timed
+
+    s = live_prof.stats
+    d_kf = pipe.current_kf_idx - kf0
+    d_att = len(pipe.loop_events) - att0
+    n_acc = sum(1 for e in pipe.loop_events if e.accepted)
+    assert pipe.current_kf_idx >= min(256, n_prefill), pipe.current_kf_idx
+    assert d_att > 0, "live window never attempted a loop registration"
+    print(f"pipeline per-scan: {ms:.1f} ms over {n_timed} scans "
+          f"({pipe.current_kf_idx} active kfs, +{d_kf} live kfs, "
+          f"{d_att} live loop attempts, {n_acc} accepted total) | "
+          f"stage avgs: {live_prof.report_line(['real','key_add','opt','loop'])}",
+          file=sys.stderr)
+    return {
+        "pipeline_ms_per_scan": round(ms, 2),
+        "pipeline_hz": round(1000.0 / ms, 2),
+        # one tunnel round-trip per scan (the pipeline's single pull) is
+        # deployment artifact, not product cost — both views reported
+        "pipeline_ms_per_scan_less_dispatch": round(ms - null_ms, 2),
+        "pipeline_keyframes_active": int(pipe.current_kf_idx),
+        "pipeline_live_loop_attempts": int(d_att),
+        "pipeline_stage_opt_ms": round(s["opt"].avg_ms, 2)
+        if "opt" in s else None,
+        "pipeline_stage_loop_ms": round(s["loop"].avg_ms, 2)
+        if "loop" in s else None,
+    }
+
+
 def _null_dispatch_ms():
     import jax
     import jax.numpy as jnp
@@ -310,6 +462,8 @@ def main():
           f"amortized steady-state {amort_ms:.1f} ms/match | "
           f"advanced matching {adv_ms:.1f} ms/match", file=sys.stderr)
 
+    pipe_keys = pipeline_per_scan(null_ms)
+
     # headline value = amortized steady-state (apples-to-apples with the
     # reference's 128.6 ms "avg ICP time" over a live run); the single-call
     # number rides the tunnel's fluctuating 29-55 ms dispatch round-trip and
@@ -324,6 +478,7 @@ def main():
         "amortized_ms": round(amort_ms, 3),
         "advanced_ms": round(adv_ms, 3),
         "vs_baseline_advanced": round(BASELINE_ADVANCED_MS / adv_ms, 3),
+        **pipe_keys,
     }))
 
 

@@ -157,6 +157,12 @@ class LoopClosure:
         self._perform_batch_jit = jax.jit(
             jax.vmap(functools.partial(self._perform_impl, batched=True),
                      in_axes=(None, 0, 0)))
+        # fused tick program: candidate fetch + (lax.cond-gated)
+        # registration + graph measurement in ONE dispatch with ONE pull —
+        # the split fetch/register/pull sequence costs 3-4 tunnel
+        # round-trips (~26 ms each) per tick, tripling the product's
+        # per-tick latency (round-5 pipeline bench)
+        self._tick_jit = jax.jit(self._fetch_and_perform_impl)
         self._sharded_batch_cache: dict = {}
 
     def fetch_closest_keyframe_idx(self, store, query_pose, query_time):
@@ -301,6 +307,41 @@ class LoopClosure:
             return self._get_sharded_batch_fn(mesh)(
                 store, query_idxs, closest_idxs)
         return self._perform_batch_jit(store, query_idxs, closest_idxs)
+
+    def fetch_and_perform(self, store: KeyframeStore, query_idx):
+        """ONE loop-timer tick as a single program: masked-argmin candidate
+        fetch (loop_closure.cpp:34-56) + registration gated behind
+        lax.cond (no candidate -> the registration branch never executes,
+        like the reference's early return, fast_lio_sam_qn.cpp:214-216) +
+        the graph measurement frozen at registration time
+        (pose_from.between(pose_to), :224-233). Returns (RegistrationOutput,
+        meas (4,4)); the caller pulls everything in one transfer."""
+        return self._tick_jit(store, jnp.int32(query_idx))
+
+    def _fetch_and_perform_impl(self, store: KeyframeStore, query_idx):
+        closest = fetch_closest_keyframe_idx(
+            store, store.poses_corrected[query_idx],
+            store.timestamps[query_idx],
+            jnp.float32(self.cfg.loop_detection_radius),
+            jnp.float32(self.cfg.loop_detection_timediff_threshold))
+
+        def do(c):
+            return self._perform_impl(store, query_idx, c)
+
+        def skip(c):
+            return RegistrationOutput(
+                pose_between=jnp.eye(4, dtype=jnp.float32),
+                score=jnp.float32(0.0), is_valid=jnp.bool_(False),
+                is_converged=jnp.bool_(False), closest_idx=jnp.int32(-1))
+
+        reg = jax.lax.cond(closest >= 0, do, skip, closest)
+        # measurement composition (fast_lio_sam_qn.cpp:224-233) on the
+        # poses the registration clouds were built with
+        pose_from = se3.compose(reg.pose_between,
+                                store.poses_corrected[query_idx])
+        pose_to = store.poses_corrected[jnp.maximum(closest, 0)]
+        meas = se3.pose_between(pose_from, pose_to)
+        return reg, meas
 
     def _get_sharded_batch_fn(self, mesh):
         fn = self._sharded_batch_cache.get(mesh)

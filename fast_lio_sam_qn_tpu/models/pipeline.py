@@ -212,7 +212,10 @@ class FastLioSamQnPipeline:
             vi = vf[:, 0]
         self.store = kf.append(self.store, vc, vm, pose, corrected,
                                jnp.float32(timestamp), intensity=vi)
-        self.odom_poses.append(np.asarray(pose))
+        # keep the device array; np.asarray(pose) here is a blocking
+        # device->host round trip (~26 ms on the tunnel) PER KEYFRAME in
+        # integrated mode — get_trajectories pulls the stack lazily
+        self.odom_poses.append(pose)
         self.kf_timestamps.append(float(timestamp))
         if first:
             self.graph = pgo.add_first_node(self.graph, pose)  # :112-118
@@ -278,43 +281,52 @@ class FastLioSamQnPipeline:
         self._register_single_candidate(tick_time, query_idx)
 
     def _register_single_candidate(self, tick_time: float, query_idx: int):
-        """Fetch + register + record one query keyframe through the
-        single-candidate program (shared by the lossy latest-keyframe
-        path and the batched scheduler's one-pending fast path)."""
-        closest = self.loop_closure.fetch_closest_keyframe_idx(
-            self.store, self.store.poses_corrected[query_idx],
-            self.store.timestamps[query_idx])
-        closest_i = int(closest)
+        """Fetch + register + record one query keyframe through the FUSED
+        tick program (shared by the lossy latest-keyframe path and the
+        batched scheduler's one-pending fast path): candidate fetch,
+        cond-gated registration, and the frozen graph measurement run as
+        ONE dispatch, pulled in ONE transfer — split dispatch/pull
+        sequences cost 3-4 tunnel round-trips per tick (~100 ms of the
+        reference-shaped 135 ms tick measured in the round-5 bench)."""
+        reg, meas = self.loop_closure.fetch_and_perform(
+            self.store, query_idx)
+        closest_np, valid_np, score_np, pose_np, meas_np = jax.device_get(
+            (reg.closest_idx, reg.is_valid, reg.score, reg.pose_between,
+             meas))
+        closest_i = int(closest_np)
         if closest_i < 0:
             return
-        reg = self.loop_closure.perform_loop_closure(
-            self.store, jnp.int32(query_idx), closest)
-        accepted = bool(reg.is_valid)
+        accepted = bool(valid_np)
         self.loop_events.append(LoopEvent(
-            tick_time, query_idx, closest_i, float(reg.score), accepted))
+            tick_time, query_idx, closest_i, float(score_np), accepted))
         if accepted:
-            self._consensus_commit(query_idx, closest_i, reg.pose_between,
-                                   reg.score)
+            self._consensus_commit(query_idx, closest_i, pose_np,
+                                   float(score_np), meas=meas_np)
 
-    def _consensus_commit(self, query_idx, closest_i, pose_between, score):
+    def _consensus_commit(self, query_idx, closest_i, pose_between, score,
+                          meas=None):
         """Commit a registration-accepted loop only when its implied drift
         correction agrees with another recent accepted loop (see
         LoopClosureConfig.consensus_window). With the window set to 0 the
         loop commits immediately (reference behavior).
 
-        The loop MEASUREMENT is frozen HERE, at registration time — like
-        the reference computes it inside the loop callback
+        The loop MEASUREMENT is frozen at registration time — like the
+        reference computes it inside the loop callback
         (fast_lio_sam_qn.cpp:224-233). pose_between is relative to the
         corrected poses the registration clouds were built with; a
         deferred (consensus-window) commit after an intervening
         rewrite_corrected would otherwise compose it with shifted poses
-        and emit a factor off by the rewrite delta."""
-        # reference composition order: pose_from = reg.pose_between *
-        # query.corrected; meas = pose_from.between(closest.corrected)
-        pose_from = se3.compose(
-            pose_between, self.store.poses_corrected[query_idx])
-        pose_to = self.store.poses_corrected[closest_i]
-        meas = se3.pose_between(pose_from, pose_to)
+        and emit a factor off by the rewrite delta. The fused tick
+        program already computed it (passed via meas); the batched path
+        computes it here, same composition order: pose_from =
+        reg.pose_between * query.corrected; meas =
+        pose_from.between(closest.corrected)."""
+        if meas is None:
+            pose_from = se3.compose(
+                jnp.asarray(pose_between, jnp.float32),
+                self.store.poses_corrected[query_idx])
+            pose_to = self.store.poses_corrected[closest_i]
+            meas = se3.pose_between(pose_from, pose_to)
         w = self.cfg.loop.consensus_window
         if w <= 0:
             self._add_loop_factor(query_idx, closest_i, meas, score)
@@ -410,8 +422,10 @@ class FastLioSamQnPipeline:
     def get_trajectories(self):
         """(odom_poses (N,4,4), corrected_poses (N,4,4)) as numpy."""
         n = self.current_kf_idx
-        return (np.stack(self.odom_poses) if n else np.zeros((0, 4, 4)),
-                np.asarray(self.graph.poses[:n]))
+        odom = (np.asarray(jnp.stack(
+            [jnp.asarray(p, jnp.float32) for p in self.odom_poses]))
+            if n else np.zeros((0, 4, 4)))
+        return odom, np.asarray(self.graph.poses[:n])
 
     def get_corrected_current_scan(self):
         """World-frame points of the LATEST fed scan at the realtime

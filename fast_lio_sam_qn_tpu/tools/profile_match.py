@@ -97,6 +97,89 @@ def main():
                      ("FULL match", full)]:
         print(f"{name:<22}{amortized_ms(fn, c0):8.2f} ms", flush=True)
 
+    # ------------------------------------------------------------------
+    # ADVANCED matching mode (use_optimized_matching=false, README.md:21):
+    # all mutual matches ungated, ADV_CORRES=2048 static ceiling — the
+    # reference's 140 ms row. Per-stage numbers so the 13 ms headline's
+    # headroom is known (round-4 verdict item 5). The clique stage is
+    # profiled in two parts: compat-matrix + replicator matvecs (parallel
+    # work) vs the sequential greedy verification pass.
+    # ------------------------------------------------------------------
+    ADV = bench.ADV_CORRES
+    nb = jnp.float32(0.3)
+
+    def matching_adv(c, i):
+        s, d, valid = quatro.match_features(
+            va + c * 1e-9, ds, fs2, vb + c * 1e-9, dd, fd2,
+            qcfg["distance_threshold"], max_corres=ADV,
+            optimized_matching=False)
+        return jnp.sum(s) * 1e-12 + jnp.sum(valid) * 1e-12 + i * 0.0
+
+    s_adv, d_adv, v_adv = quatro.match_features(
+        va, ds, fs2, vb, dd, fd2, qcfg["distance_threshold"],
+        max_corres=ADV, optimized_matching=False)
+    print(f"advanced mutual matches: {int(jnp.sum(v_adv))}/{ADV}",
+          flush=True)
+
+    def clique_adv(c, i):
+        inl = quatro.max_clique_inliers(s_adv + c * 1e-9, d_adv, v_adv, nb)
+        return jnp.sum(inl) * 1e-9 + i * 0.0
+
+    def clique_no_greedy(c, i):
+        # compat matrix + 64 replicator iterations only (the parallel
+        # part of max_clique_inliers, duplicated here for isolation)
+        sp = s_adv + c * 1e-9
+        cc = sp.shape[0]
+        dss = jnp.linalg.norm(sp[:, None, :] - sp[None, :, :], axis=-1)
+        ddd = jnp.linalg.norm(d_adv[:, None, :] - d_adv[None, :, :],
+                              axis=-1)
+        A = ((jnp.abs(dss - ddd) <= 2.0 * nb) & v_adv[:, None]
+             & v_adv[None, :] & ~jnp.eye(cc, dtype=bool)).astype(
+            jnp.float32)
+        x = v_adv.astype(jnp.float32)
+        x = x / jnp.maximum(jnp.sum(x), 1.0)
+
+        def rd(_, xx):
+            num = xx * (A @ xx)
+            return num / jnp.maximum(jnp.sum(num), 1e-12)
+
+        x = jax.lax.fori_loop(0, 64, rd, x)
+        return jnp.sum(x) * 1e-9 + i * 0.0
+
+    inl_adv = quatro.max_clique_inliers(s_adv, d_adv, v_adv, nb)
+
+    def gnc_adv(c, i):
+        yaw, wt, ok = quatro.gnc_rotation_yaw(
+            s_adv + c * 1e-9, d_adv, inl_adv, nb, jnp.float32(1.4),
+            jnp.float32(1e-4), max_iter=50)
+        return yaw * 1e-9 + jnp.sum(wt) * 1e-12 + i * 0.0
+
+    def voting_adv(c, i):
+        t, votes = quatro.translation_voting(
+            s_adv + c * 1e-9, d_adv, inl_adv, jnp.float32(0.1), nb)
+        return jnp.sum(t) * 1e-9 + i * 0.0
+
+    def quatro_adv(c, i):
+        q = quatro.align(va + c * 1e-9, ds, fs2, vb, dd, fd2,
+                         max_corres=ADV, rot_max_iter=50,
+                         optimized_matching=False, **qcfg)
+        return jnp.sum(q.transform) * 1e-9 + i * 0.0
+
+    def full_adv(c, i):
+        T, fit, conv = bench.full_match(
+            (va + c * 1e-9, vma, vp1 + c * 1e-9),
+            (vb + c * 1e-9, vmb, vp2 + c * 1e-9), optimized=False)
+        return fit + jnp.sum(T) * 1e-9 + i * 0.0
+
+    for name, fn in [("adv matching", matching_adv),
+                     ("adv clique (all)", clique_adv),
+                     ("adv compat+replicator", clique_no_greedy),
+                     ("adv gnc rotation", gnc_adv),
+                     ("adv translation vote", voting_adv),
+                     ("adv quatro (all)", quatro_adv),
+                     ("FULL advanced match", full_adv)]:
+        print(f"{name:<22}{amortized_ms(fn, c0):8.2f} ms", flush=True)
+
 
 if __name__ == "__main__":
     main()
