@@ -189,6 +189,43 @@ class Trajectory:
 N_RINGS = 32
 
 
+def _packed_surfaces(world: World):
+    """Stack the world's surfaces into (S,3) arrays for the vectorized
+    raycaster (cached on the World — worlds are immutable after build)."""
+    cached = getattr(world, "_packed", None)
+    if cached is None or cached[0] is not world.surfaces:
+        o = np.stack([s[0] for s in world.surfaces]).astype(np.float32)
+        u = np.stack([s[1] for s in world.surfaces]).astype(np.float32)
+        v = np.stack([s[2] for s in world.surfaces]).astype(np.float32)
+        nrm = np.cross(u, v)
+        cached = (world.surfaces, o, u, v, nrm,
+                  (o * nrm).sum(1), (o * u).sum(1), (o * v).sum(1),
+                  (u * u).sum(1), (v * v).sum(1))
+        world._packed = cached
+    return cached[1:]
+
+
+def _raycast(world: World, origins: np.ndarray, dirs_w: np.ndarray,
+             min_range: float, max_range: float) -> np.ndarray:
+    """First-hit distance along each ray, vectorized over ALL surfaces at
+    once (float32 matmuls (N,3)@(3,S) + elementwise (N,S) — the per-surface
+    python loop was the dominant cost of feed generation at 16k rays).
+    Returns best_t (N,) float64 with inf where nothing is hit."""
+    o, u, v, nrm, onrm, ou, ov, uu, vv = _packed_surfaces(world)
+    org = origins.astype(np.float32)
+    d = dirs_w.astype(np.float32)
+    denom = d @ nrm.T                       # (N,S)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_hit = (onrm[None, :] - org @ nrm.T) / denom
+        a = (org @ u.T + t_hit * (d @ u.T) - ou[None, :]) / uu[None, :]
+        b = (org @ v.T + t_hit * (d @ v.T) - ov[None, :]) / vv[None, :]
+    ok = ((np.abs(denom) > 1e-9)
+          & (t_hit > min_range) & (t_hit < max_range)
+          & (a >= 0) & (a <= 1) & (b >= 0) & (b <= 1))
+    return np.where(ok, t_hit, np.float32(np.inf)).min(
+        axis=1).astype(np.float64)
+
+
 def _ring_pattern(n_points: int, scan_period: float):
     """Fixed multi-ring spinning-LiDAR pattern (like a real sensor: all
     rings fire together at each azimuth step; time advances with azimuth).
@@ -229,23 +266,7 @@ def simulate_scan(
     origins = np.broadcast_to(p, dirs_l.shape)
     dirs_w = dirs_l @ R.T
 
-    best_t = np.full(n_points, np.inf)
-    for (o, u, v) in world.surfaces:
-        nrm = np.cross(u, v)
-        area2 = nrm @ nrm
-        denom = dirs_w @ nrm
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t_hit = ((o - origins) @ nrm) / denom
-            rel = origins + t_hit[:, None] * dirs_w - o
-        a = (rel @ u) / (u @ u)
-        b = (rel @ v) / (v @ v)
-        ok = (
-            (np.abs(denom) > 1e-9)
-            & (t_hit > min_range)
-            & (t_hit < max_range)
-            & (a >= 0) & (a <= 1) & (b >= 0) & (b <= 1)
-        )
-        best_t = np.where(ok & (t_hit < best_t), t_hit, best_t)
+    best_t = _raycast(world, origins, dirs_w, min_range, max_range)
     hit = np.isfinite(best_t)
     rng2 = np.random.default_rng(seed + 1)
     ranges = best_t + rng2.normal(0, noise, n_points)
@@ -276,7 +297,6 @@ def simulate_scan_swept(
     )
     # chunk rays by time for efficiency (pose changes slowly)
     n_chunks = 32
-    best_t = np.full(n_points, np.inf)
     dirs_w = np.zeros_like(dirs_l)
     origins = np.zeros_like(dirs_l)
     for ci in range(n_chunks):
@@ -285,20 +305,7 @@ def simulate_scan_swept(
         T = traj.pose(t_mid)
         origins[sl] = T[:3, 3]
         dirs_w[sl] = dirs_l[sl] @ T[:3, :3].T
-    for (o, u, v) in world.surfaces:
-        nrm = np.cross(u, v)
-        denom = dirs_w @ nrm
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t_hit = ((o[None] - origins) @ nrm) / denom
-            rel = origins + t_hit[:, None] * dirs_w - o
-        a = (rel @ u) / (u @ u)
-        b = (rel @ v) / (v @ v)
-        ok = (
-            (np.abs(denom) > 1e-9)
-            & (t_hit > min_range) & (t_hit < max_range)
-            & (a >= 0) & (a <= 1) & (b >= 0) & (b <= 1)
-        )
-        best_t = np.where(ok & (t_hit < best_t), t_hit, best_t)
+    best_t = _raycast(world, origins, dirs_w, min_range, max_range)
     hit = np.isfinite(best_t)
     ranges = best_t + np.random.default_rng(seed + 1).normal(0, noise, n_points)
     with np.errstate(invalid="ignore"):
