@@ -267,3 +267,41 @@ def test_estimate_scale_degenerate_clamped():
     s = float(scale)
     assert np.isfinite(s)
     assert 0.05 <= s <= 20.0, s
+
+
+def test_max_clique_greedy_cap_path():
+    """C > greedy_cap takes the gathered top-K submatrix greedy
+    (ops/quatro.py max_clique_inliers): a 60-vertex clique scattered over
+    1024 slots (with invalid padding and gross outliers) must be recovered
+    identically to the full-length greedy — replicator support ranks the
+    clique into the top-K, so the cap discards only near-zero-support
+    vertices."""
+    rng = np.random.default_rng(7)
+    c = 1024
+    yaw_true = -0.4
+    cy, sy = np.cos(yaw_true), np.sin(yaw_true)
+    R = np.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]],
+                 np.float32)
+    t = np.array([-2.0, 3.0, 0.1], np.float32)
+    s_pts = rng.uniform(-12, 12, (c, 3)).astype(np.float32)
+    d_pts = (s_pts @ R.T + t).astype(np.float32)
+    inl_true = np.zeros(c, bool)
+    inl_true[rng.choice(c, 60, replace=False)] = True
+    out = ~inl_true
+    d_pts[out] += (rng.uniform(4, 25, (int(out.sum()), 3))
+                   * rng.choice([-1.0, 1.0], (int(out.sum()), 3))).astype(
+        np.float32)
+    valid = np.ones(c, bool)
+    valid[rng.choice(np.where(out)[0], 200, replace=False)] = False
+
+    kept_cap = np.asarray(quatro.max_clique_inliers(
+        jnp.asarray(s_pts), jnp.asarray(d_pts), jnp.asarray(valid),
+        jnp.float32(0.3)))
+    kept_full = np.asarray(quatro.max_clique_inliers(
+        jnp.asarray(s_pts), jnp.asarray(d_pts), jnp.asarray(valid),
+        jnp.float32(0.3), greedy_cap=c))
+    # all true inliers recovered, no gross outliers admitted
+    assert (kept_cap & inl_true).sum() == 60, (kept_cap & inl_true).sum()
+    assert not (kept_cap & ~valid).any()
+    assert (kept_cap & out).sum() <= 2, (kept_cap & out).sum()
+    assert (kept_cap == kept_full).all()
