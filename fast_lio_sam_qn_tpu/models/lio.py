@@ -245,6 +245,11 @@ def _process_scan(
         return nav1, P1, jnp.int32(0)
 
     nav2, P2, matches = jax.lax.cond(is_first, skip_update, do_update, None)
+    # keep R on SO(3): the per-IMU-sample f32 compose chain drifts off the
+    # manifold (~1e-4 ||R^T R - I|| per 500 scans) and transpose-inverses
+    # downstream turn that into per-scan phantom rotation — see
+    # se3.orthonormalize3. Once per scan keeps it at the f32 noise floor.
+    nav2 = nav2._replace(R=se3.orthonormalize3(nav2.R))
 
     # map insert with the updated pose; evict far voxels to bound occupancy
     pts_w = ieskf._ptransform(body, nav2.R, nav2.p)

@@ -250,13 +250,23 @@ class FastLioSamQnPipeline:
         n = self.current_kf_idx
         last = self.graph.poses[n - 1]
         self.last_corrected_pose = last
+        # last_kf_corrected must ALSO track the post-solve estimate: the
+        # next odometry factor is meas = between(last_kf_corrected,
+        # last_corrected_pose . delta), so a pre-solve anchor here bakes
+        # the solve's movement of node n-1 into the measurement as a
+        # phantom rotation, which the next solve then "corrects" — a
+        # positive-feedback loop that amplified f32-level seeds into
+        # 0.42 m / 0.094 rad of corrected-chain drift over 120 loop-free
+        # keyframes (found by the round-5 long-run golden; the reference
+        # equivalently re-reads the iSAM estimate for both the gate and
+        # pose_from each callback, fast_lio_sam_qn.cpp:146-153,172-178).
+        self.last_kf_corrected = last
         self.odom_delta = jnp.eye(4)
         if self.loop_added_flag:
             # O(N) corrected rewrite (:180-188); the keyframe gate then
             # compares against the rewritten latest pose. Without loops the
             # stored (as-inserted) value is kept, like the reference.
             self.store = kf.rewrite_corrected(self.store, self.graph.poses)
-            self.last_kf_corrected = last
             self.loop_added_flag = False
 
     def _loop_tick(self, tick_time: float):

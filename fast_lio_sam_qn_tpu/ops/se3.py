@@ -193,6 +193,26 @@ def compose3(Ra: jax.Array, Rb: jax.Array) -> jax.Array:
     return _mm(Ra, Rb)
 
 
+def orthonormalize3(R: jax.Array, iters: int = 2) -> jax.Array:
+    """Project a near-rotation back onto SO(3) (Newton iteration for the
+    orthogonal polar factor: X <- X (3I - X^T X) / 2, quadratic
+    convergence for ||X^T X - I|| < 1).
+
+    f32 rotation chains drift off the manifold: the LIO's per-IMU-sample
+    compose chain reached ||R^T R - I|| ~ 1e-4 over 480 scans, and
+    pose_inverse's transpose-inverse then injects ~ that much phantom
+    rotation PER COMPOSITION into every consumer — measured 0.42 m /
+    0.094 rad of realtime-pose bias over a 640 m loop-free course, which
+    loop closures then amplified unboundedly (round-5 long-run golden).
+    The reference never meets this error class: its SO3/quaternion types
+    renormalize by construction. Applied once per scan the drift stays at
+    the f32 noise floor (each iteration squares the error)."""
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
+    for _ in range(iters):
+        R = 0.5 * _mm(R, 3.0 * eye - _mm(jnp.swapaxes(R, -1, -2), R))
+    return R
+
+
 def compose(Ta: jax.Array, Tb: jax.Array) -> jax.Array:
     """Full-precision pose composition Ta @ Tb.
 

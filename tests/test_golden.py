@@ -100,12 +100,14 @@ def test_golden_sim_trajectory_regression(lio_feed):
     numerical regression in the LIO step or the loop stack cannot hide
     behind loose sanity bounds.
 
-    Recorded 2026-08-18 (r3, post deskew-interval fix): ate_rmse
-    0.0652 m, 35 keyframes, 5 loops accepted of 12 attempts."""
+    Recorded 2026-08-20 (r5, post SO(3)-reprojection fix — the r3 pin was
+    ate 0.0652 / 35 kf; keeping the LIO rotation on the manifold removed
+    the phantom per-scan rotation and improved the golden ATE 36%):
+    ate_rmse 0.0417 m, 34 keyframes, 6 loops accepted of 12 attempts."""
     kf, ate, n_pairs, n_events = _replay_summary(
         "golden_native", _native_cfg(), lio_feed)
-    assert kf == 35
-    assert abs(ate - 0.0652) < 0.2 * 0.0652, ate
+    assert kf == 34
+    assert abs(ate - 0.0417) < 0.2 * 0.0417, ate
     assert 4 <= n_pairs <= 8
     assert n_events == 12
 
@@ -121,17 +123,18 @@ def test_golden_strict_parity_regression(lio_feed):
     flagship 240-scan sim. This is the executable stand-in for
     reference-trajectory parity until real KITTI/MulRan data exists.
 
-    Recorded 2026-08-19 (r4, 8-device CPU mesh): ate_rmse 0.0651 m,
-    35 keyframes, 5 loops committed of 12 attempts — matching the native
-    golden (0.0652 m): the robustness gates are inert on this clean
-    sequence and strict parity reproduces reference acceptance."""
+    Recorded 2026-08-20 (r5, 8-device CPU mesh, post SO(3)-reprojection
+    fix): ate_rmse 0.0417 m, 34 keyframes, 6 loops committed of 12
+    attempts — matching the native golden (0.0417 m): the robustness
+    gates are inert on this clean sequence and strict parity reproduces
+    reference acceptance."""
     from fast_lio_sam_qn_tpu.utils.config import load_reference_yaml
 
     cfg = load_reference_yaml(REF_YAML)  # strict parity by default
     cfg.caps = _caps()
     kf, ate, n_pairs, n_events = _replay_summary(
         "golden_strict_parity", cfg, lio_feed)
-    assert kf == 35
-    assert abs(ate - 0.0651) < 0.2 * 0.0651, ate
+    assert kf == 34
+    assert abs(ate - 0.0417) < 0.2 * 0.0417, ate
     assert 4 <= n_pairs <= 8
     assert n_events == 12
