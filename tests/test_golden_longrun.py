@@ -1,0 +1,78 @@
+"""KITTI-scale long-run golden (round-4 verdict #2).
+
+1,600 scans / ~640 m / 3.9 laps of continuous revisits on the 8-device
+CPU mesh — the scale-realistic counterpart of test_golden.py's 240-scan
+flagship. Exercises, together and end-to-end, what toy scale cannot:
+mid-run amortized doubling of BOTH the keyframe store (128 -> 512) and
+the loop-factor capacity (8 -> 64), the O(N) corrected rewrite at N in
+the hundreds, per-keyframe pgo.optimize on a live hundreds-node graph,
+surfel-map eviction churn (det_range 40 m on a 52 m course), and loop
+gating over a dense multi-lap candidate field.
+
+This golden caught a real at-scale bug on first run (round 5): the LIO's
+f32 rotation chain drifting off SO(3) + transpose-inverses turned into
+0.42 m of loop-free corrected-chain bias that loop solves amplified to
+tens of meters — invisible in every 240-scan toy validation. See
+se3.orthonormalize3 and the round-5 PARITY.md entry.
+
+The sequence/replay definition lives in the package
+(fast_lio_sam_qn_tpu/tools/longrun.py) so the on-TPU run recorded in
+PARITY.md drives the IDENTICAL code path. The whole run (feed + replay)
+is cached via conftest.deterministic_cache keyed on the package source
+hash: ~4 min to build cold on the 1-vCPU box, instant warm. The
+builder code is entirely package code, so editing THIS file (e.g.
+re-pinning) does not invalidate the cache.
+"""
+import pytest
+
+from fast_lio_sam_qn_tpu.tools import longrun
+
+
+@pytest.fixture(scope="module")
+def summary():
+    from conftest import deterministic_cache
+
+    cfg = longrun.longrun_config()
+
+    def build():
+        return longrun.replay(cfg, longrun.longrun_feed(cfg))
+
+    return deterministic_cache(
+        "golden_longrun", (longrun.N_SCANS, longrun.SCAN_HZ, repr(cfg)),
+        build)
+
+
+@pytest.mark.slow
+def test_longrun_capacity_doublings(summary):
+    """Both amortized growth paths crossed doubling boundaries mid-run
+    (longrun.replay also asserts this at build time): keyframes 128 ->
+    512 (two doublings), loop factors 8 -> 64 (three)."""
+    assert summary["kf_capacity_initial"] == 128
+    assert summary["kf_capacity_final"] >= 512, summary
+    assert summary["loop_capacity_initial"] == 8
+    assert summary["loop_capacity_final"] >= 32, summary
+
+
+@pytest.mark.slow
+def test_longrun_golden_regression(summary):
+    """Golden numbers recorded 2026-08-20 (round 5, 8-device CPU mesh,
+    post SO(3)-reprojection fix): 400 keyframes, ate_corrected 0.0872 m
+    over 640 m (0.014% of distance; odometry 0.0066 m), 39 loops
+    committed / 44 accepted of 64 attempts. ATE band +-30% like
+    test_pipeline's regression band; counts exact or narrow — a numerical
+    regression in LIO, registration, or the PGO solver at scale cannot
+    hide behind loose sanity bounds.
+
+    Note the corrected ATE is (correctly) above the odometry ATE here:
+    the synthetic LIO is near-perfect on this course (6.6 mm over 640 m),
+    so committed loop factors contribute registration noise rather than
+    drift correction — what this golden pins is that 39 noisy-but-true
+    loops across three capacity doublings and ~400 rewrites perturb the
+    trajectory by no more than centimeters (the pre-fix state was tens of
+    METERS)."""
+    assert summary["n_keyframes"] == 400, summary
+    assert abs(summary["ate_corrected_m"] - 0.0872) < 0.3 * 0.0872, summary
+    assert summary["ate_odom_m"] < 0.05, summary
+    assert summary["loop_attempts"] == 64, summary
+    assert 30 <= summary["loops_committed"] <= 50, summary
+    assert summary["loops_accepted"] >= summary["loops_committed"], summary
