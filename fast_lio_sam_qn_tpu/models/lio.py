@@ -37,6 +37,12 @@ class LioState(NamedTuple):
     t: jax.Array              # filter time (scan end), float32 seconds
     num_scans: jax.Array      # int32
     num_matches: jax.Array    # int32: plane matches in last update
+    # LiDAR->IMU extrinsic. Fixed at the configured extrinsic_R/extrinsic_T
+    # unless cfg.extrinsic_est_en, in which case it is filter state
+    # co-estimated by the 24-dim IESEKF (appended last so pre-r5
+    # checkpoints' leaf order is preserved; checkpoint.load fills it from
+    # the template).
+    ext: ieskf.Extrinsic
 
 
 class ScanResult(NamedTuple):
@@ -59,8 +65,10 @@ class LIO:
         self._R_li = jnp.asarray(
             np.array(c.extrinsic_R, np.float32).reshape(3, 3))
         self._t_li = jnp.asarray(np.array(c.extrinsic_T, np.float32))
-        self._noise = jnp.array(
-            [c.gyr_cov, c.acc_cov, c.b_gyr_cov, c.b_acc_cov], jnp.float32)
+        noise = [c.gyr_cov, c.acc_cov, c.b_gyr_cov, c.b_acc_cov]
+        if c.extrinsic_est_en:
+            noise += [c.extrinsic_rw_rot, c.extrinsic_rw_trans]
+        self._noise = jnp.array(noise, jnp.float32)
 
     # ------------------------------------------------------------------
     def init_state(self, gravity_dir=None, gyro_bias=None, t0=0.0) -> LioState:
@@ -84,11 +92,13 @@ class LIO:
                 table_size=self.cfg.map_table_size)
         return LioState(
             nav=nav,
-            P=ieskf.init_covariance(),
+            P=ieskf.init_covariance(
+                est_extrinsic=self.cfg.extrinsic_est_en),
             grid=grid,
             t=jnp.float32(t0),
             num_scans=jnp.int32(0),
             num_matches=jnp.int32(0),
+            ext=ieskf.Extrinsic(R=self._R_li, t=self._t_li),
         )
 
     @staticmethod
@@ -141,6 +151,7 @@ class LIO:
             state, pts_l, rel_t, mask, imu_t, gyro, acc, imu_mask,
             jnp.float32(t_start), jnp.float32(t_end),
             self._R_li, self._t_li, self._noise, inten,
+            est_extrinsic=self.cfg.extrinsic_est_en,
             blind=self.cfg.blind,
             filter_num=self.cfg.point_filter_num,
             surf_res=self.cfg.filter_size_surf,
@@ -204,12 +215,13 @@ def _first_per_voxel(pts, scalars, mask, res, out_cap):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "blind", "filter_num", "surf_res", "out_cap", "max_iter", "plane_k",
+    "est_extrinsic", "blind", "filter_num", "surf_res", "out_cap",
+    "max_iter", "plane_k",
     "plane_threshold", "det_range", "map_backend", "surfel_window",
     "surfel_hood_cap", "surfel_hood_window", "surfel_halo_cap"))
 def _process_scan(
     state: LioState, pts_l, rel_t, mask, imu_t, gyro, acc, imu_mask,
-    t_start, t_end, R_li, t_li, noise, inten=None, *,
+    t_start, t_end, R_li, t_li, noise, inten=None, *, est_extrinsic=False,
     blind, filter_num, surf_res, out_cap, max_iter, plane_k,
     plane_threshold, det_range, map_backend="surfel", surfel_window=1,
     surfel_hood_cap=None, surfel_hood_window=27, surfel_halo_cap=None,
@@ -222,29 +234,66 @@ def _process_scan(
 
     nav1, P1, log = ieskf.propagate(
         state.nav, state.P, imu_t, gyro, acc, imu_mask, t_start, t_end, noise)
-    body = ieskf.deskew(pts_p, t_p, m_p, log, nav1, t_start, R_li, t_li)
+    # deskew with the CURRENT extrinsic estimate (= the configured R_li/t_li
+    # unless est_extrinsic has moved it)
+    body = ieskf.deskew(pts_p, t_p, m_p, log, nav1, t_start,
+                        state.ext.R, state.ext.t)
 
     is_first = state.num_scans == 0
 
-    if map_backend == "surfel":
-        def do_update(_):
-            return ieskf.update_surfel(
-                nav1, P1, state.grid, body, m_p,
-                meas_var=jnp.float32(0.0025), max_iter=max_iter,
-                window=surfel_window)
+    if est_extrinsic:
+        # scan-end LiDAR frame: undo the deskew-time extrinsic so the
+        # update can re-apply its own extrinsic iterate differentiably
+        pts_l_end = jnp.einsum("ni,ij->nj", body - state.ext.t, state.ext.R,
+                               precision="highest")
+        if map_backend == "surfel":
+            def do_update(_):
+                return ieskf.update_surfel_ext(
+                    nav1, state.ext, P1, state.grid, pts_l_end, m_p,
+                    meas_var=jnp.float32(0.0025), max_iter=max_iter,
+                    window=surfel_window)
+        else:
+            def do_update(_):
+                return ieskf.update_ext(
+                    nav1, state.ext, P1, state.grid, pts_l_end, m_p,
+                    meas_var=jnp.float32(0.0025),
+                    plane_threshold=jnp.float32(plane_threshold),
+                    max_iter=max_iter, plane_k=plane_k, window=3,
+                )
+
+        def skip_update(_):
+            return nav1, state.ext, P1, jnp.int32(0)
+
+        nav2, ext2, P2, matches = jax.lax.cond(
+            is_first, skip_update, do_update, None)
+        # the extrinsic compose chain needs the same SO(3) re-projection as
+        # the nav chain (CLAUDE.md geometry rule), just at scan cadence
+        ext2 = ieskf.Extrinsic(R=se3.orthonormalize3(ext2.R), t=ext2.t)
+        # re-derive the body-frame cloud under the UPDATED extrinsic so
+        # downstream keyframes see the consistent frame
+        body = ieskf._ptransform(pts_l_end, ext2.R, ext2.t)
     else:
-        def do_update(_):
-            return ieskf.update(
-                nav1, P1, state.grid, body, m_p,
-                meas_var=jnp.float32(0.0025),
-                plane_threshold=jnp.float32(plane_threshold),
-                max_iter=max_iter, plane_k=plane_k, window=3,
-            )
+        if map_backend == "surfel":
+            def do_update(_):
+                return ieskf.update_surfel(
+                    nav1, P1, state.grid, body, m_p,
+                    meas_var=jnp.float32(0.0025), max_iter=max_iter,
+                    window=surfel_window)
+        else:
+            def do_update(_):
+                return ieskf.update(
+                    nav1, P1, state.grid, body, m_p,
+                    meas_var=jnp.float32(0.0025),
+                    plane_threshold=jnp.float32(plane_threshold),
+                    max_iter=max_iter, plane_k=plane_k, window=3,
+                )
 
-    def skip_update(_):
-        return nav1, P1, jnp.int32(0)
+        def skip_update(_):
+            return nav1, P1, jnp.int32(0)
 
-    nav2, P2, matches = jax.lax.cond(is_first, skip_update, do_update, None)
+        nav2, P2, matches = jax.lax.cond(is_first, skip_update, do_update,
+                                         None)
+        ext2 = state.ext
     # keep R on SO(3): the per-IMU-sample f32 compose chain drifts off the
     # manifold (~1e-4 ||R^T R - I|| per 500 scans) and transpose-inverses
     # downstream turn that into per-scan phantom rotation — see
@@ -269,6 +318,6 @@ def _process_scan(
     pose = se3.make_pose(nav2.R, nav2.p)
     new_state = LioState(
         nav=nav2, P=P2, grid=grid, t=t_end,
-        num_scans=state.num_scans + 1, num_matches=matches,
+        num_scans=state.num_scans + 1, num_matches=matches, ext=ext2,
     )
     return new_state, ScanResult(pose, body, m_p, matches, i_p)

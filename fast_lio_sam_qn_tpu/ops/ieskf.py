@@ -36,6 +36,11 @@ from . import hashgrid, linalg3, se3, surfel_map
 # error-state layout
 _TH, _P, _V, _BG, _BA, _G = 0, 3, 6, 9, 12, 15
 STATE_DIM = 18
+# optional online LiDAR-IMU extrinsic block (FAST-LIO2's extrinsic_est_en,
+# third_party/fastlio_config_launch/kitti.yaml:22): appended so every
+# existing 18-dim index stays valid and the disabled path is untouched.
+_RLI, _TLI = 18, 21
+STATE_DIM_EXT = 24
 
 
 def _ptransform(pts, R, t=None):
@@ -67,12 +72,31 @@ def identity_state(dtype=jnp.float32) -> NavState:
     )
 
 
-def init_covariance(dtype=jnp.float32) -> jax.Array:
+def init_covariance(dtype=jnp.float32, est_extrinsic: bool = False
+                    ) -> jax.Array:
+    """18x18 filter covariance, or 24x24 when the LiDAR-IMU extrinsic is
+    co-estimated (extrinsic prior: ~1.8 deg rot / ~3 cm trans std — the
+    extrinsic_T/extrinsic_R config is treated as a decent initial guess,
+    as upstream FAST-LIO2 does [external])."""
     d = jnp.concatenate([
         jnp.full(3, 1e-4), jnp.full(3, 1e-4), jnp.full(3, 1e-2),
         jnp.full(3, 1e-4), jnp.full(3, 1e-3), jnp.full(3, 1e-3),
-    ]).astype(dtype)
+    ] + ([jnp.full(3, 1e-3), jnp.full(3, 1e-3)] if est_extrinsic else [])
+    ).astype(dtype)
     return jnp.diag(d)
+
+
+class Extrinsic(NamedTuple):
+    """LiDAR->IMU extrinsic as filter state: p_body = R @ p_lidar + t."""
+
+    R: jax.Array  # (3,3)
+    t: jax.Array  # (3,)
+
+
+def boxplus_ext(e: Extrinsic, dx6: jax.Array) -> Extrinsic:
+    """Right-perturbation retraction of the extrinsic block."""
+    return Extrinsic(
+        R=se3.compose3(e.R, se3.so3_exp(dx6[:3])), t=e.t + dx6[3:])
 
 
 def boxplus(s: NavState, dx: jax.Array) -> NavState:
@@ -98,10 +122,12 @@ class PropagationLog(NamedTuple):
     valid: jax.Array  # (K,)
 
 
-def _step_jacobians(R, acc_c, w_c, dt, dtype):
-    """Error-state transition F (18x18) for one IMU step (right-perturbation
-    local error; standard ESKF discrete forms)."""
-    F = jnp.eye(STATE_DIM, dtype=dtype)
+def _step_jacobians(R, acc_c, w_c, dt, dtype, dim=STATE_DIM):
+    """Error-state transition F (dim x dim) for one IMU step (right-
+    perturbation local error; standard ESKF discrete forms). With
+    dim=STATE_DIM_EXT the extrinsic block is identity with no coupling —
+    a near-constant parameter driven only by its random-walk Q rows."""
+    F = jnp.eye(dim, dtype=dtype)
     Rw = se3.so3_exp(-w_c * dt)
     F = F.at[_TH:_TH + 3, _TH:_TH + 3].set(Rw)
     F = F.at[_TH:_TH + 3, _BG:_BG + 3].set(-jnp.eye(3, dtype=dtype) * dt)
@@ -123,11 +149,18 @@ def propagate(
     imu_mask: jax.Array,  # (K,)
     t_start: jax.Array,
     t_end: jax.Array,
-    noise: jax.Array,     # (4,) [gyr_cov, acc_cov, b_gyr_cov, b_acc_cov]
+    noise: jax.Array,     # (4,) [gyr_cov, acc_cov, b_gyr_cov, b_acc_cov];
+                          # with a 24-dim P: (6,), rows 4/5 = extrinsic
+                          # random walk (rot rad^2/s, trans m^2/s)
 ):
     """Forward-propagate through the scan's IMU samples; returns the state at
-    t_end, covariance, and the per-sample pose log for deskew."""
+    t_end, covariance, and the per-sample pose log for deskew.
+
+    Shape-generic in P: an 18x18 covariance propagates the nav state only; a
+    24x24 one (est_extrinsic) additionally carries the constant extrinsic
+    block and its nav cross-covariances through F P F^T."""
     dtype = P.dtype
+    dim = P.shape[0]
 
     def step(carry, inp):
         s, Pc, t_prev = carry
@@ -139,12 +172,18 @@ def propagate(
         R_new = se3.compose3(s.R, se3.so3_exp(w_c * dt))
         p_new = s.p + s.v * dt + 0.5 * a_w * dt * dt
         v_new = s.v + a_w * dt
-        F = _step_jacobians(s.R, a_c, w_c, dt, dtype)
-        Q = jnp.zeros((STATE_DIM,), dtype)
+        F = _step_jacobians(s.R, a_c, w_c, dt, dtype, dim)
+        Q = jnp.zeros((dim,), dtype)
         Q = Q.at[_TH:_TH + 3].set(noise[0] * dt)
         Q = Q.at[_V:_V + 3].set(noise[1] * dt)
         Q = Q.at[_BG:_BG + 3].set(noise[2] * dt)
         Q = Q.at[_BA:_BA + 3].set(noise[3] * dt)
+        if dim == STATE_DIM_EXT:
+            # slow extrinsic random walk: prevents the ext covariance from
+            # freezing permanently after transients in weakly-observable
+            # directions (noise rows 4=rot, 5=trans; rad^2/s, m^2/s)
+            Q = Q.at[_RLI:_RLI + 3].set(noise[4] * dt)
+            Q = Q.at[_TLI:_TLI + 3].set(noise[5] * dt)
         P_new = jnp.matmul(
             jnp.matmul(F, Pc, precision="highest"),
             F.T, precision="highest",
@@ -178,12 +217,15 @@ def propagate(
         v=s_mid.v + a_w * dt_tail,
         bg=s_mid.bg, ba=s_mid.ba, grav=s_mid.grav,
     )
-    F = _step_jacobians(s_mid.R, a_c, w_c, dt_tail, dtype)
-    Q_tail = jnp.zeros((STATE_DIM,), dtype)
+    F = _step_jacobians(s_mid.R, a_c, w_c, dt_tail, dtype, dim)
+    Q_tail = jnp.zeros((dim,), dtype)
     Q_tail = Q_tail.at[_TH:_TH + 3].set(noise[0] * dt_tail)
     Q_tail = Q_tail.at[_V:_V + 3].set(noise[1] * dt_tail)
     Q_tail = Q_tail.at[_BG:_BG + 3].set(noise[2] * dt_tail)
     Q_tail = Q_tail.at[_BA:_BA + 3].set(noise[3] * dt_tail)
+    if dim == STATE_DIM_EXT:
+        Q_tail = Q_tail.at[_RLI:_RLI + 3].set(noise[4] * dt_tail)
+        Q_tail = Q_tail.at[_TLI:_TLI + 3].set(noise[5] * dt_tail)
     P_end = jnp.matmul(jnp.matmul(F, P_mid, precision="highest"), F.T,
                        precision="highest") + jnp.diag(Q_tail)
     log = PropagationLog(t=lt, R=lR, p=lp, v=lv, w=lw, valid=imu_mask)
@@ -408,3 +450,150 @@ def update_surfel(
     # association is fixed across iterations, so the converged-state match
     # count is simply the (constant) valid count
     return s_fin, P_new, jnp.sum(valid)
+
+
+# ---------------------------------------------------------------------------
+# Online LiDAR-IMU extrinsic co-estimation (FAST-LIO2's extrinsic_est_en,
+# third_party/fastlio_config_launch/kitti.yaml:22 [external]).  The 24-dim
+# error state appends (dphi_li, dt_li); the measurement model becomes
+# p_w = R (R_li p_l + t_li) + p over the deskewed scan in the scan-END
+# LIDAR frame, so the extrinsic stays differentiable in the update.
+# ---------------------------------------------------------------------------
+
+def _pose_ext_rows(pts_l, p_b, s, ext, n):
+    """Point-to-plane rows over the [pose(6) | extrinsic(6)] columns.
+
+    r = n . (R (R_li p_l + t_li) + p) + d, right perturbations:
+      d r / d dtheta  = -n^T R hat(p_b)       -> cross(p_b, R^T n)
+      d r / d dp      =  n^T
+      d r / d dphi_li = -n^T R R_li hat(p_l)  -> cross(p_l, R_li^T R^T n)
+      d r / d dt_li   =  n^T R                -> R^T n
+    """
+    Rtn = jnp.einsum("ji,nj->ni", s.R, n, precision="highest")
+    Rlitn = jnp.einsum("ji,nj->ni", ext.R, Rtn, precision="highest")
+    return jnp.concatenate(
+        [jnp.cross(p_b, Rtn), n, jnp.cross(pts_l, Rlitn), Rtn], axis=-1)
+
+
+def _scatter_ext_blocks(A12, b12, dtype):
+    """Place the dense 12x12 normal equations into the sparse 24-dim layout
+    (columns 0:6 pose, 18:24 extrinsic; v/bias/gravity rows are zero)."""
+    A = jnp.zeros((STATE_DIM_EXT, STATE_DIM_EXT), dtype)
+    A = A.at[:6, :6].set(A12[:6, :6])
+    A = A.at[:6, _RLI:].set(A12[:6, 6:])
+    A = A.at[_RLI:, :6].set(A12[6:, :6])
+    A = A.at[_RLI:, _RLI:].set(A12[6:, 6:])
+    b = jnp.zeros((STATE_DIM_EXT,), dtype)
+    b = b.at[:6].set(b12[:6]).at[_RLI:].set(b12[6:])
+    return A, b
+
+
+def _gn_step_ext(s, ext, dx_acc, pts_l, p_b, n, resid, w, Pinv):
+    """One MAP Gauss-Newton step of the 24-dim state (mirror of _gn_step)."""
+    dtype = Pinv.dtype
+    h12 = _pose_ext_rows(pts_l, p_b, s, ext, n)
+    A12 = jnp.einsum("na,nb,n->ab", h12, h12, w, precision="highest")
+    b12 = jnp.einsum("na,n,n->a", h12, resid, w, precision="highest")
+    A, b = _scatter_ext_blocks(A12, b12, dtype)
+    rhs = -(b + jnp.matmul(Pinv, dx_acc, precision="highest"))
+    dx = jnp.linalg.solve(A + Pinv, rhs)
+    return (boxplus(s, dx[:STATE_DIM]), boxplus_ext(ext, dx[_RLI:]),
+            dx_acc + dx)
+
+
+def _posterior_cov_ext(s_fin, ext_fin, pts_l, n, w, Pinv):
+    dtype = Pinv.dtype
+    p_b = _ptransform(pts_l, ext_fin.R, ext_fin.t)
+    h12 = _pose_ext_rows(pts_l, p_b, s_fin, ext_fin, n)
+    A12 = jnp.einsum("na,nb,n->ab", h12, h12, w, precision="highest")
+    A, _ = _scatter_ext_blocks(A12, jnp.zeros(12, dtype), dtype)
+    P_new = jnp.linalg.inv(A + Pinv)
+    return 0.5 * (P_new + P_new.T)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "window"))
+def update_surfel_ext(
+    state: NavState,
+    ext: Extrinsic,
+    P: jax.Array,          # (24,24)
+    smap,                  # surfel_map.SurfelMap
+    pts_l: jax.Array,      # (N,3) deskewed scan, scan-END LIDAR frame
+    mask: jax.Array,
+    meas_var: jax.Array,
+    max_iter: int = 3,
+    window: int = 1,
+):
+    """update_surfel with online extrinsic co-estimation.  Unlike
+    update_surfel, the plane ASSOCIATION is re-searched every iteration:
+    calibration transients displace points by several voxels, and a fixed
+    wrong association would collapse the extrinsic covariance onto a wrong
+    estimate (measured: t_z frozen 10 cm off truth with fixed association,
+    mm-converged with re-association).  Returns (state, ext, P, matches)."""
+    dtype = P.dtype
+    Pinv = jnp.linalg.inv(P + 1e-9 * jnp.eye(STATE_DIM_EXT, dtype=dtype))
+
+    def associate(s, e):
+        p_b = _ptransform(pts_l, e.R, e.t)
+        pts_w = _ptransform(p_b, s.R, s.p)
+        n, resid, valid = surfel_map.query_planes(smap, pts_w, mask,
+                                                  window=window)
+        return p_b, n, resid, valid
+
+    def body(carry, _):
+        s, e, dx_acc = carry
+        p_b, n, resid, valid = associate(s, e)
+        w = valid.astype(dtype) / meas_var
+        s_new, e_new, dx_acc = _gn_step_ext(
+            s, e, dx_acc, pts_l, p_b, n, resid, w, Pinv)
+        return (s_new, e_new, dx_acc), None
+
+    (s_fin, e_fin, _), _ = jax.lax.scan(
+        body, (state, ext, jnp.zeros(STATE_DIM_EXT, dtype)), None,
+        length=max_iter)
+    _, n, _, valid = associate(s_fin, e_fin)
+    w = valid.astype(dtype) / meas_var
+    P_new = _posterior_cov_ext(s_fin, e_fin, pts_l, n, w, Pinv)
+    return s_fin, e_fin, P_new, jnp.sum(valid)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "plane_k", "window"))
+def update_ext(
+    state: NavState,
+    ext: Extrinsic,
+    P: jax.Array,          # (24,24)
+    grid: hashgrid.HashGrid,
+    pts_l: jax.Array,      # (N,3) deskewed scan, scan-END LIDAR frame
+    mask: jax.Array,
+    meas_var: jax.Array,
+    plane_threshold: jax.Array,
+    max_iter: int = 3,
+    plane_k: int = 5,
+    window: int = 3,
+):
+    """update (point-map backend) with online extrinsic co-estimation:
+    correspondences are re-searched each iteration at the current pose AND
+    extrinsic.  Returns (state, ext, P, num_matches)."""
+    dtype = P.dtype
+    Pinv = jnp.linalg.inv(P + 1e-9 * jnp.eye(STATE_DIM_EXT, dtype=dtype))
+
+    def body(carry, _):
+        s, e, dx_acc = carry
+        p_b = _ptransform(pts_l, e.R, e.t)
+        pts_w = _ptransform(p_b, s.R, s.p)
+        n, resid, valid = _plane_correspondences(
+            grid, pts_w, mask, plane_k, plane_threshold, window)
+        w = valid.astype(dtype) / meas_var
+        s_new, e_new, dx_acc = _gn_step_ext(
+            s, e, dx_acc, pts_l, p_b, n, resid, w, Pinv)
+        return (s_new, e_new, dx_acc), None
+
+    (s_fin, e_fin, _), _ = jax.lax.scan(
+        body, (state, ext, jnp.zeros(STATE_DIM_EXT, dtype)), None,
+        length=max_iter)
+    p_b = _ptransform(pts_l, e_fin.R, e_fin.t)
+    pts_w = _ptransform(p_b, s_fin.R, s_fin.p)
+    n, _, valid = _plane_correspondences(
+        grid, pts_w, mask, plane_k, plane_threshold, window)
+    w = valid.astype(dtype) / meas_var
+    P_new = _posterior_cov_ext(s_fin, e_fin, pts_l, n, w, Pinv)
+    return s_fin, e_fin, P_new, jnp.sum(valid)

@@ -156,6 +156,12 @@ def load_checkpoint(pipeline, path: str, lio_template=None):
     # static (non-array) leaves like SurfelMap.res round-trip as 0-d arrays;
     # restore them to the template's Python type
     tmpl_leaves = jax.tree.leaves(lio_template)
+    if len(tmpl_leaves) == n_leaves + 2:
+        # pre-r5 checkpoint without the LioState.ext extrinsic leaves
+        # (appended last in the pytree): fill them from the template (the
+        # configured extrinsic — exactly what the old filter was using)
+        leaves = leaves + [jnp.asarray(t) for t in tmpl_leaves[-2:]]
+        n_leaves += 2
     if len(tmpl_leaves) != n_leaves:  # user-facing: must survive python -O
         raise ValueError(
             f"LIO checkpoint layout mismatch ({n_leaves} saved leaves vs "

@@ -167,6 +167,16 @@ class LioConfig:
     extrinsic_R: tuple = (1.0, 0.0, 0.0,
                           0.0, 1.0, 0.0,
                           0.0, 0.0, 1.0)      # LiDAR->IMU rotation, row-major
+    # FAST-LIO2's online LiDAR-IMU extrinsic refinement (kitti.yaml:22;
+    # false in every reference preset). When true, the IESEKF co-estimates
+    # (R_li, t_li) in a 24-dim error state, starting from
+    # extrinsic_R/extrinsic_T as the prior (ops/ieskf.py update_*_ext).
+    extrinsic_est_en: bool = False
+    # extrinsic random-walk process noise (rad^2/s, m^2/s): keeps the
+    # extrinsic covariance from freezing permanently after calibration
+    # transients in weakly-observable directions
+    extrinsic_rw_rot: float = 1e-5
+    extrinsic_rw_trans: float = 1e-5
     gravity: float = 9.81
     # map backend (TPU-native): "surfel" = per-voxel accumulated moments
     # with cached planes (ops/surfel_map.py, default — cheaper queries and
@@ -380,20 +390,16 @@ def load_lio_yaml(path_or_dict, base: Optional[LioConfig] = None) -> LioConfig:
     ext_r = _lookup(tree, "mapping/extrinsic_R", None)
     if ext_r is not None:
         lio.extrinsic_R = tuple(float(v) for v in ext_r)
+    lio.extrinsic_est_en = bool(
+        _lookup(tree, "mapping/extrinsic_est_en", lio.extrinsic_est_en))
     # Non-inert FAST-LIO keys this front end does not implement: WARN when
     # a ported upstream YAML enables one, so it cannot silently no-op.
-    # Both are `false` in all five reference presets
+    # time_sync_en is `false` in all five reference presets
     # (fastlio_config_launch/*.yaml), so effective parity holds; the inert
     # ignored keys (scan_rate, fov_degree, publish:/pcd_save: blocks) are
     # documented in PARITY.md "Known divergences".
     import warnings
 
-    if bool(_lookup(tree, "mapping/extrinsic_est_en", False)):
-        warnings.warn(
-            "mapping/extrinsic_est_en: true is not implemented — the "
-            "LiDAR-IMU extrinsic stays fixed at extrinsic_T/extrinsic_R "
-            "(it is false in every reference preset; see PARITY.md)",
-            stacklevel=2)
     if bool(_lookup(tree, "common/time_sync_en", False)):
         warnings.warn(
             "common/time_sync_en: true is not implemented — for a known "

@@ -107,6 +107,15 @@ def so3_exp_np(w):
     return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
 
 
+def so3_log_np(R):
+    c = np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    th = np.arccos(c)
+    if th < 1e-9:
+        return np.zeros(3)
+    v = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    return v * (th / (2.0 * np.sin(th)))
+
+
 @dataclass
 class Trajectory:
     """Smooth ground-truth trajectory: pose, velocity, acceleration, and body
@@ -115,14 +124,24 @@ class Trajectory:
     # figure-8-ish loop in a room, or straight path; parametrized lambdas
     pos_fn: object
     yaw_fn: object
+    # optional (roll, pitch) for full-SO(3) excitation (handheld/UAV-like
+    # motion — needed e.g. to make the LiDAR-IMU extrinsic observable).
+    # None keeps the planar yaw-only behavior bit-identical.
+    tilt_fn: object = None
 
-    def pose(self, t: float) -> np.ndarray:
-        p = self.pos_fn(t)
+    def _rot(self, t: float) -> np.ndarray:
         yaw = self.yaw_fn(t)
         R = so3_exp_np(np.array([0.0, 0.0, yaw]))
+        if self.tilt_fn is None:
+            return R
+        roll, pitch = self.tilt_fn(t)
+        return (R @ so3_exp_np(np.array([0.0, pitch, 0.0]))
+                @ so3_exp_np(np.array([roll, 0.0, 0.0])))
+
+    def pose(self, t: float) -> np.ndarray:
         T = np.eye(4)
-        T[:3, :3] = R
-        T[:3, 3] = p
+        T[:3, :3] = self._rot(t)
+        T[:3, 3] = self.pos_fn(t)
         return T
 
     def derivatives(self, t: float, dt: float = 1e-4):
@@ -132,6 +151,9 @@ class Trajectory:
         p2 = self.pos_fn(t + dt)
         v = (p2 - p0) / (2 * dt)
         a = (p2 - 2 * p1 + p0) / (dt * dt)
+        if self.tilt_fn is not None:
+            w = so3_log_np(self._rot(t - dt).T @ self._rot(t + dt)) / (2 * dt)
+            return v, a, w
         yaw_rate = (self.yaw_fn(t + dt) - self.yaw_fn(t - dt)) / (2 * dt)
         return v, a, np.array([0.0, 0.0, yaw_rate])
 
@@ -169,6 +191,31 @@ class Trajectory:
             return np.arctan2(v[1], v[0])
 
         return Trajectory(pos, yaw)
+
+    @staticmethod
+    def loop_excited(radius=7.0, period=40.0, z=1.5) -> "Trajectory":
+        """The circular loop with calibration-grade excitation: modulated
+        yaw rate plus sinusoidal roll/pitch sway (incommensurate periods).
+        Constant-rate single-axis motion leaves the LiDAR-IMU extrinsic
+        unobservable (gyro bias + gravity + the world gauge absorb it);
+        this trajectory breaks all three degeneracies."""
+        om = 2 * np.pi / period
+
+        def pos(t):
+            return np.array([
+                radius * np.cos(om * t) - radius,
+                radius * np.sin(om * t),
+                z + 0.15 * np.sin(2 * np.pi * t / 6.1),
+            ])
+
+        def yaw(t):
+            return om * t + np.pi / 2 + 0.25 * np.sin(2 * np.pi * t / 7.3)
+
+        def tilt(t):
+            return (0.12 * np.sin(2 * np.pi * t / 4.1),
+                    0.10 * np.cos(2 * np.pi * t / 5.3))
+
+        return Trajectory(pos, yaw, tilt)
 
     @staticmethod
     def straight(speed=1.5, z=1.5) -> "Trajectory":

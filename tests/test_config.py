@@ -215,21 +215,23 @@ def test_lio_yaml_loads_timestamp_and_offset_keys():
 
 
 def test_lio_yaml_warns_on_unimplemented_keys():
-    """A ported upstream YAML enabling extrinsic_est_en / time_sync_en must
-    WARN (those FAST-LIO capabilities are not implemented — PARITY.md); the
-    reference presets (both false, kitti.yaml:4,22) must stay silent."""
+    """A ported upstream YAML enabling time_sync_en must WARN (that
+    FAST-LIO capability is not implemented — PARITY.md); extrinsic_est_en
+    is implemented since r5 (tests/test_extrinsic.py) and must load
+    silently; the reference presets (both false, kitti.yaml:4,22) must
+    stay silent too."""
     import warnings
 
     import pytest
 
     from fast_lio_sam_qn_tpu.utils.config import load_lio_yaml
 
-    with pytest.warns(UserWarning, match="extrinsic_est_en"):
-        load_lio_yaml({"mapping": {"extrinsic_est_en": True}})
     with pytest.warns(UserWarning, match="time_sync_en"):
         load_lio_yaml({"common": {"time_sync_en": True}})
     with warnings.catch_warnings():
         warnings.simplefilter("error")
+        assert load_lio_yaml(
+            {"mapping": {"extrinsic_est_en": True}}).extrinsic_est_en
         load_lio_yaml({"common": {"time_sync_en": False},
                        "mapping": {"extrinsic_est_en": False,
                                    "fov_degree": 180},

@@ -1,0 +1,211 @@
+"""Online LiDAR-IMU extrinsic estimation (FAST-LIO2's extrinsic_est_en,
+/root/reference/third_party/fastlio_config_launch/kitti.yaml:22).
+
+Covers: the 24-dim measurement Jacobian (finite differences), shape-generic
+covariance propagation, the YAML key wiring, and end-to-end convergence of
+a wrong initial extrinsic on a simulated sequence.
+"""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_lio_sam_qn_tpu.models.lio import LIO
+from fast_lio_sam_qn_tpu.ops import ieskf, se3
+from fast_lio_sam_qn_tpu.utils import sim
+from fast_lio_sam_qn_tpu.utils.config import LioConfig, load_lio_yaml
+
+SCAN_HZ = 10.0
+IMU_HZ = 200.0
+IMU_CAP = 32
+
+
+def _pad_imu(ts, gyro, acc, cap=IMU_CAP):
+    k = len(ts)
+    t = np.zeros(cap, np.float32)
+    g = np.zeros((cap, 3), np.float32)
+    a = np.zeros((cap, 3), np.float32)
+    m = np.zeros(cap, bool)
+    t[:k] = ts
+    g[:k] = gyro
+    a[:k] = acc
+    m[:k] = True
+    return jnp.asarray(t), jnp.asarray(g), jnp.asarray(a), jnp.asarray(m)
+
+
+def _rand_rot(rng, scale=1.0):
+    return np.asarray(se3.so3_exp(jnp.asarray(
+        rng.normal(0, scale, 3).astype(np.float32))))
+
+
+def test_pose_ext_rows_match_finite_differences():
+    """Analytic rows of d r / d [dtheta dp dphi_li dt_li] vs central FD."""
+    rng = np.random.default_rng(0)
+    s = ieskf.identity_state()._replace(
+        R=jnp.asarray(_rand_rot(rng, 0.5)),
+        p=jnp.asarray(rng.normal(0, 2, 3).astype(np.float32)))
+    ext = ieskf.Extrinsic(
+        R=jnp.asarray(_rand_rot(rng, 0.2)),
+        t=jnp.asarray(rng.normal(0, 0.2, 3).astype(np.float32)))
+    pts_l = jnp.asarray(rng.normal(0, 5, (16, 3)).astype(np.float32))
+    n = rng.normal(0, 1, (16, 3)).astype(np.float32)
+    n = jnp.asarray(n / np.linalg.norm(n, axis=-1, keepdims=True))
+
+    def resid(dx12):
+        s2 = ieskf.boxplus(
+            s, jnp.zeros(18).at[:6].set(dx12[:6]))
+        e2 = ieskf.boxplus_ext(ext, dx12[6:])
+        p_b = ieskf._ptransform(pts_l, e2.R, e2.t)
+        p_w = ieskf._ptransform(p_b, s2.R, s2.p)
+        return jnp.sum(n * p_w, axis=-1)
+
+    p_b = ieskf._ptransform(pts_l, ext.R, ext.t)
+    h = np.asarray(ieskf._pose_ext_rows(pts_l, p_b, s, ext, n))
+    eps = 1e-3
+    for j in range(12):
+        d = jnp.zeros(12).at[j].set(eps)
+        fd = np.asarray((resid(d) - resid(-d)) / (2 * eps))
+        np.testing.assert_allclose(h[:, j], fd, atol=5e-3, err_msg=f"col {j}")
+
+
+def test_propagate_is_shape_generic_in_P():
+    """A 24x24 covariance propagates its 18-block exactly like the 18x18
+    path; the extrinsic block is constant and cross-covariances stay zero."""
+    traj = sim.Trajectory.loop(radius=7.0, period=30.0)
+    ts, gyro, acc = sim.simulate_imu(traj, 2.0, 2.1, rate=IMU_HZ)
+    nav = ieskf.identity_state()
+    it, ig, ia, im = _pad_imu(ts, gyro, acc)
+    noise = jnp.array([0.1, 0.1, 1e-4, 1e-4])
+    t0, t1 = jnp.float32(2.0), jnp.float32(2.1)
+
+    _, P18, _ = ieskf.propagate(
+        nav, ieskf.init_covariance(), it, ig, ia, im, t0, t1, noise)
+    # rows 4/5 = extrinsic random walk; zero here so the ext block is
+    # exactly the prior
+    noise6 = jnp.concatenate([noise, jnp.zeros(2)])
+    nav24, P24, _ = ieskf.propagate(
+        nav, ieskf.init_covariance(est_extrinsic=True), it, ig, ia, im,
+        t0, t1, noise6)
+    np.testing.assert_allclose(np.asarray(P24[:18, :18]), np.asarray(P18),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(P24[18:, 18:]),
+                               1e-3 * np.eye(6), rtol=1e-6)
+    assert float(jnp.abs(P24[:18, 18:]).max()) == 0.0
+
+
+def test_yaml_key_now_drives_the_filter():
+    """mapping/extrinsic_est_en now selects the 24-dim filter instead of
+    warning (the r4 document-or-warn disposition is superseded)."""
+    cfg = load_lio_yaml({"mapping": {"extrinsic_est_en": True}})
+    assert cfg.extrinsic_est_en
+    lio = LIO(dataclasses.replace(
+        cfg, max_points_per_scan=1024, map_table_size=1 << 14))
+    assert lio.init_state().P.shape == (24, 24)
+    assert not load_lio_yaml({}).extrinsic_est_en
+
+
+@pytest.mark.slow
+def test_extrinsic_estimation_converges_on_sim():
+    """Extrinsic refinement against a consistent map (the practical
+    extrinsic_est_en regime): the LiDAR is actually mounted with a
+    roll/pitch/yaw + lever-arm offset the config doesn't know about; the
+    filter localizes in a ground-truth-built map and must pull the
+    extrinsic toward the true mounting.
+
+    Observability notes baked into the tolerances (verified empirically and
+    consistent with calibration theory): roll/pitch and the x/y/z lever arm
+    converge quickly under the excited loop's sway; the extrinsic YAW error
+    is only weakly observable (it needs sustained non-yaw rotation) and
+    merely must not diverge.  In from-scratch SLAM (no prior map) a
+    constant extrinsic error is absorbed into the world gauge and is
+    fundamentally unobservable until the map's internal inconsistency
+    accumulates — which is why this test localizes against a truth map."""
+    world = sim.World.room(size=24.0, height=5.0, n_boxes=8, seed=3)
+    traj = sim.Trajectory.loop_excited(radius=7.0, period=40.0)
+    period = 1.0 / SCAN_HZ
+    n_scans = 50
+
+    # true mounting: ~4.4 deg total rotation + (8, -5, 3) cm lever arm
+    wvec = np.array([np.deg2rad(3.0), np.deg2rad(2.0), np.deg2rad(2.5)],
+                    np.float32)
+    R_true = np.asarray(se3.so3_exp(jnp.asarray(wvec)))
+    t_true = np.array([0.08, -0.05, 0.03], np.float32)
+    T_bl = np.eye(4, dtype=np.float32)
+    T_bl[:3, :3], T_bl[:3, 3] = R_true, t_true
+
+    class LidarTraj:
+        """LiDAR trajectory = body trajectory composed with the mount."""
+
+        def pose(self, t):
+            return traj.pose(t) @ T_bl
+
+    lidar_traj = LidarTraj()
+
+    cfg = LioConfig(
+        blind=0.5, point_filter_num=1, filter_size_surf=0.3,
+        filter_size_map=0.3, max_points_per_scan=4096,
+        map_table_size=1 << 17, det_range=60.0, max_iteration=3,
+        extrinsic_est_en=True)  # extrinsic_R/T left at identity = wrong
+    lio = LIO(cfg)
+    T0 = traj.pose(0.0)
+    v0, _, _ = traj.derivatives(0.0)
+    state = lio.init_state()
+    state = state._replace(nav=state.nav._replace(
+        v=jnp.asarray(T0[:3, :3].T @ v0, jnp.float32),
+        grav=jnp.asarray(T0[:3, :3].T @ np.array([0, 0, -9.81]),
+                         jnp.float32)))
+
+    # prebuild a truthful map (filter world frame = body(0)) from static
+    # scans at known LiDAR poses spread over the loop
+    from fast_lio_sam_qn_tpu.ops import surfel_map
+    T0inv = np.linalg.inv(T0)
+    grid = state.grid
+    for k in range(24):
+        T_wl = (traj.pose(k * 40.0 / 24) @ T_bl).astype(np.float32)
+        pts, _ = sim.simulate_scan(world, T_wl, n_points=6144, noise=0.005,
+                                   seed=500 + k)
+        ok = np.isfinite(pts).all(-1)
+        W = (T0inv @ T_wl).astype(np.float32)
+        pw = pts[ok] @ W[:3, :3].T + W[:3, 3]
+        pj = np.zeros((6144, 3), np.float32)
+        m = np.zeros(6144, bool)
+        pj[:len(pw)] = pw
+        m[:len(pw)] = True
+        grid = surfel_map.insert(
+            grid, jnp.asarray(pj), jnp.asarray(m),
+            thickness=jnp.float32(cfg.plane_threshold),
+            hood_cap=cfg.surfel_hood_cap, halo_cap=cfg.surfel_halo_cap,
+            hood_window=cfg.surfel_hood_window)
+    state = state._replace(grid=grid, num_scans=jnp.int32(1))
+
+    pose_errs = []
+    for i in range(n_scans):
+        t0, t1 = i * period, (i + 1) * period
+        pts, rel_t = sim.simulate_scan_swept(
+            world, lidar_traj, t0, n_points=4096, noise=0.01,
+            seed=10 + i, scan_period=period)
+        ts, gyro, acc = sim.simulate_imu(
+            traj, t0, t1, rate=IMU_HZ, gyro_noise=0.002, acc_noise=0.02,
+            seed=20 + i)
+        pj, mask = sim.pad_cloud(pts, 4096)
+        it, ig, ia, im = _pad_imu(ts, gyro, acc)
+        state, res = lio.process_scan(
+            state, jnp.asarray(pj), jnp.asarray(rel_t),
+            jnp.asarray(mask), it, ig, ia, im, t0, t1)
+        T_gt = T0inv @ traj.pose(t1)
+        pose_errs.append(np.linalg.norm(
+            np.asarray(res.pose)[:3, 3] - T_gt[:3, 3]))
+
+    rot_err = np.rad2deg(np.asarray(
+        se3.so3_log(jnp.asarray(R_true.T) @ state.ext.R)))
+    trans_err = np.asarray(state.ext.t) - t_true
+    # roll/pitch: from (3, 2) deg down below 0.8 deg
+    assert abs(rot_err[0]) < 0.8 and abs(rot_err[1]) < 0.8, rot_err
+    # weakly-observable yaw: must not diverge beyond its initial 2.5 deg
+    assert abs(rot_err[2]) < 3.0, rot_err
+    # lever arm: from (8, -5, 3) cm down below 2.5 cm per axis
+    assert np.all(np.abs(trans_err) < 0.025), trans_err
+    # and the filter tracks the truth trajectory despite starting 4.4 deg /
+    # 9.9 cm miscalibrated
+    assert np.mean(pose_errs[-10:]) < 0.05, pose_errs[-10:]
