@@ -141,6 +141,12 @@ def _get_pipeline_config(args, preset):
         cfg.lio = dataclasses.replace(LIO_PRESETS[preset])
     else:
         cfg = get_pipeline_config(preset)
+    if getattr(args, "lio_config", None):
+        # a FAST-LIO per-dataset YAML layered over the preset's LIO config
+        # (the reference's kitti.launch:13 `fastlio_mapping` yaml path)
+        from .utils.config import load_lio_yaml
+
+        cfg.lio = load_lio_yaml(args.lio_config, base=cfg.lio)
     over = {k: v for k, v in (
         ("max_points_per_scan", getattr(args, "scan_cap", None)),
         ("map_table_size", getattr(args, "table_size", None))) if v}
@@ -506,6 +512,34 @@ def run_bag(args):
     last_t = None
     n_fed = 0
 
+    # FAST-LIO2's time_sync_en (kitti.yaml:4 [external]): when the LiDAR
+    # and IMU clocks disagree grossly (>0.1 s), estimate the constant
+    # offset from the first stamp of each stream and remap LiDAR time onto
+    # the IMU clock (applied on top of the configured
+    # time_offset_lidar_to_imu, which handles *known* sub-0.1 s offsets).
+    sync_off = None if cfg.lio.time_sync_en else 0.0
+    first_scan_stamp = first_imu_stamp = None
+    presync: deque = deque()       # scans held until sync_off is known
+
+    def _resolve_sync(flush_unsynced: bool = False):
+        nonlocal sync_off
+        if sync_off is None:
+            if flush_unsynced:
+                sync_off = 0.0     # IMU-less bag: nothing to sync against
+            elif first_scan_stamp is None or first_imu_stamp is None:
+                return
+            else:
+                d = first_imu_stamp - first_scan_stamp
+                sync_off = d if abs(d) > 0.1 else 0.0
+                if sync_off:
+                    print(f"time_sync_en: LiDAR->IMU clock offset "
+                          f"{sync_off:+.3f} s detected from first stamps; "
+                          "remapping scan stamps onto the IMU clock",
+                          file=sys.stderr, flush=True)
+        while presync:
+            stamp, pts3, inten3, rel3 = presync.popleft()
+            pending.append((stamp + off + sync_off, pts3, inten3, rel3))
+
     def drain(force: bool = False):
         nonlocal state, last_t, n_fed
         # a scan is ready once an IMU sample past its stamp has arrived
@@ -565,26 +599,40 @@ def run_bag(args):
                     stamp, xyzi, rel = scan_decoders[mtype](raw)
                 has_rel = rel is not None and len(rel) and \
                     float(rel.max()) > 0
-                pending.append((stamp + off, xyzi[:, :3], xyzi[:, 3],
-                                rel if has_rel else None))
+                if sync_off is None:
+                    if first_scan_stamp is None:
+                        first_scan_stamp = stamp
+                    presync.append((stamp, xyzi[:, :3], xyzi[:, 3],
+                                    rel if has_rel else None))
+                    _resolve_sync()
+                else:
+                    pending.append((stamp + off + sync_off, xyzi[:, :3],
+                                    xyzi[:, 3], rel if has_rel else None))
             elif topic == imu_topic and mtype == "sensor_msgs/Imu":
                 stamp, gyro, acc = decode_imu(raw)
                 row = [stamp, *gyro, *acc]
                 imu_rows.append(row)
                 if state is None:
                     imu_seen.append(row)
+                if first_imu_stamp is None:
+                    first_imu_stamp = stamp
+                    _resolve_sync()
             else:
                 continue
             drain()
+        _resolve_sync(flush_unsynced=True)
         drain(force=True)
 
-    return pipe, {
+    report = {
         "mode": "bag", "scans": n_fed, "keyframes": pipe.current_kf_idx,
         "loops_accepted": len(pipe.loop_idx_pairs),
         "loop_attempts": len(pipe.loop_events),
         "scan_topic": scan_topic, "imu_topic": imu_topic,
         "timing": prof.summary(),
     }
+    if cfg.lio.time_sync_en:
+        report["time_sync_offset"] = round(float(sync_off or 0.0), 6)
+    return pipe, report
 
 
 def run_kitti(args):
@@ -741,6 +789,10 @@ def main(argv=None):
     p.add_argument("--world-frame", action="store_true",
                    help="scans are world-frame (un-transform by pose)")
     p.add_argument("--preset", default="kitti")
+    p.add_argument("--lio-config", default=None, dest="lio_config",
+                   help="FAST-LIO per-dataset YAML layered over the "
+                        "preset's LIO config (fastlio_config_launch/*.yaml "
+                        "format)")
     p.add_argument("--ref-config", default=None, dest="ref_config",
                    help="load the PGO/loop config from a reference-format "
                         "rosparam YAML (e.g. the upstream config/"

@@ -152,6 +152,11 @@ class LioConfig:
     # added to every lidar stamp before pairing with the IMU stream
     # (kimera-multi.yaml:6 time_offset_lidar_to_imu)
     time_offset_lidar_to_imu: float = 0.0
+    # FAST-LIO2's runtime clock-sync detection (kitti.yaml:4): when true
+    # and the LiDAR/IMU first stamps disagree by >0.1 s, the bag feeder
+    # estimates the constant offset and remaps scan stamps onto the IMU
+    # clock (run.py run_bag). false in every reference preset.
+    time_sync_en: bool = False
     blind: float = 2.0                        # drop points closer than this [m]
     point_filter_num: int = 4                 # keep every Nth point
     # mapping / filter
@@ -392,18 +397,9 @@ def load_lio_yaml(path_or_dict, base: Optional[LioConfig] = None) -> LioConfig:
         lio.extrinsic_R = tuple(float(v) for v in ext_r)
     lio.extrinsic_est_en = bool(
         _lookup(tree, "mapping/extrinsic_est_en", lio.extrinsic_est_en))
-    # Non-inert FAST-LIO keys this front end does not implement: WARN when
-    # a ported upstream YAML enables one, so it cannot silently no-op.
-    # time_sync_en is `false` in all five reference presets
-    # (fastlio_config_launch/*.yaml), so effective parity holds; the inert
-    # ignored keys (scan_rate, fov_degree, publish:/pcd_save: blocks) are
-    # documented in PARITY.md "Known divergences".
-    import warnings
-
-    if bool(_lookup(tree, "common/time_sync_en", False)):
-        warnings.warn(
-            "common/time_sync_en: true is not implemented — for a known "
-            "inter-sensor offset set common/time_offset_lidar_to_imu "
-            "(it is false in every reference preset; see PARITY.md)",
-            stacklevel=2)
+    lio.time_sync_en = bool(
+        _lookup(tree, "common/time_sync_en", lio.time_sync_en))
+    # The remaining ignored FAST-LIO keys are all inert (scan_rate,
+    # fov_degree, publish:/pcd_save: blocks) — documented in PARITY.md
+    # "Known divergences".
     return lio

@@ -214,25 +214,23 @@ def test_lio_yaml_loads_timestamp_and_offset_keys():
     assert base.time_offset_lidar_to_imu == 0.0
 
 
-def test_lio_yaml_warns_on_unimplemented_keys():
-    """A ported upstream YAML enabling time_sync_en must WARN (that
-    FAST-LIO capability is not implemented — PARITY.md); extrinsic_est_en
-    is implemented since r5 (tests/test_extrinsic.py) and must load
-    silently; the reference presets (both false, kitti.yaml:4,22) must
-    stay silent too."""
+def test_lio_yaml_consumes_formerly_unimplemented_keys():
+    """extrinsic_est_en and time_sync_en are implemented since r5
+    (tests/test_extrinsic.py, tests/test_rosbag.py clock-offset test):
+    both load silently into LioConfig; the remaining ignored keys are
+    inert (PARITY.md) and must not warn either."""
     import warnings
-
-    import pytest
 
     from fast_lio_sam_qn_tpu.utils.config import load_lio_yaml
 
-    with pytest.warns(UserWarning, match="time_sync_en"):
-        load_lio_yaml({"common": {"time_sync_en": True}})
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         assert load_lio_yaml(
             {"mapping": {"extrinsic_est_en": True}}).extrinsic_est_en
-        load_lio_yaml({"common": {"time_sync_en": False},
-                       "mapping": {"extrinsic_est_en": False,
-                                   "fov_degree": 180},
-                       "preprocess": {"scan_rate": 10}})
+        assert load_lio_yaml(
+            {"common": {"time_sync_en": True}}).time_sync_en
+        cfg = load_lio_yaml({"common": {"time_sync_en": False},
+                             "mapping": {"extrinsic_est_en": False,
+                                         "fov_degree": 180},
+                             "preprocess": {"scan_rate": 10}})
+        assert not cfg.time_sync_en and not cfg.extrinsic_est_en

@@ -124,7 +124,7 @@ def _lz4_frame(payload: bytes, compressed_first_block=True) -> bytes:
 
 
 def _write_bag(path, compression="none", with_odom=False, with_time=True,
-               odom_skip=()):
+               odom_skip=(), imu_offset=0.0):
     rng = np.random.default_rng(0)
     records = b""
     records += _conn_record(0, "/os_cloud_node/points",
@@ -143,7 +143,7 @@ def _write_bag(path, compression="none", with_odom=False, with_time=True,
         if with_odom and i not in odom_skip:
             records += _msg_record(2, t, _odom(t, [0.5 * i, 0.0, 0.0]))
     for j in range(30):
-        t = 100.0 + 0.01 * j
+        t = 100.0 + 0.01 * j + imu_offset
         records += _msg_record(
             1, t, _imu(t, [0.01, 0.02, 0.03], [0.1, 0.2, 9.8]))
 
@@ -399,6 +399,45 @@ def test_bag_convert_rel_times_sidecar(tmp_path):
     report2 = convert(path2, str(out2))
     assert report2["per_point_times"] is False
     assert not os.path.exists(out2 / "rel_times")
+
+
+def test_bag_time_sync_en_detects_clock_offset(tmp_path, capsys):
+    """common/time_sync_en (FAST-LIO2's runtime clock-sync detection,
+    kitti.yaml:4): a bag whose IMU clock runs ~5 s ahead of the LiDAR
+    clock streams through --bag with the offset auto-detected from the
+    first stamps and scan stamps remapped onto the IMU clock.  Without
+    the flag the report carries no offset key (and a known offset is the
+    time_offset_lidar_to_imu path instead)."""
+    import json
+
+    from fast_lio_sam_qn_tpu.run import main
+
+    path = str(tmp_path / "skewed.bag")
+    _write_bag(path, imu_offset=5.0)
+    yml = tmp_path / "lio.yaml"
+    yml.write_text("common:\n  time_sync_en: true\n")
+    rc = main(["--bag", path, "--preset", "sim", "--lio-config", str(yml),
+               "--out", str(tmp_path / "a")])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["scans"] == 3
+    # first IMU stamp 105.0 vs first scan stamp 100.1
+    assert abs(rep["time_sync_offset"] - 4.9) < 1e-6
+    assert rep["keyframes"] >= 1
+    # flag off: no remap attempted, no offset key in the report
+    rc = main(["--bag", path, "--preset", "sim",
+               "--out", str(tmp_path / "b")])
+    assert rc == 0
+    rep2 = json.loads(capsys.readouterr().out)
+    assert "time_sync_offset" not in rep2
+    # in-sync bag with the flag on: offset below 0.1 s -> detected as 0
+    path2 = str(tmp_path / "sync.bag")
+    _write_bag(path2)
+    rc = main(["--bag", path2, "--preset", "sim", "--lio-config", str(yml),
+               "--out", str(tmp_path / "c")])
+    assert rc == 0
+    rep3 = json.loads(capsys.readouterr().out)
+    assert rep3["time_sync_offset"] == 0.0
 
 
 def test_bag_streaming_matches_convert_then_run(tmp_path, capsys):
