@@ -397,6 +397,16 @@ def _pack_imu(rows, imu_cap: int = 64):
     return it, ig, ia, im
 
 
+def _extrinsic_report(cfg, state):
+    """The refined LiDAR->IMU extrinsic, for runs with extrinsic_est_en
+    (the calibration result a user enables the key for)."""
+    if state is None or not cfg.lio.extrinsic_est_en:
+        return None
+    import numpy as np
+    return {"R": np.round(np.asarray(state.ext.R), 6).tolist(),
+            "t": np.round(np.asarray(state.ext.t), 6).tolist()}
+
+
 def run_bag(args):
     """Direct bag streaming — the reference's `rosbag play seq.bag` driving
     path (/root/reference/README.md:83-94) without ROS or an intermediate
@@ -632,6 +642,8 @@ def run_bag(args):
     }
     if cfg.lio.time_sync_en:
         report["time_sync_offset"] = round(float(sync_off or 0.0), 6)
+    if (ext := _extrinsic_report(cfg, state)) is not None:
+        report["extrinsic_estimate"] = ext
     return pipe, report
 
 
@@ -748,6 +760,8 @@ def run_kitti(args):
     }
     if args.checkpoint:
         report["checkpoint"] = args.checkpoint
+    if (ext := _extrinsic_report(cfg, state)) is not None:
+        report["extrinsic_estimate"] = ext
     return pipe, report
 
 

@@ -415,7 +415,10 @@ def test_bag_time_sync_en_detects_clock_offset(tmp_path, capsys):
     path = str(tmp_path / "skewed.bag")
     _write_bag(path, imu_offset=5.0)
     yml = tmp_path / "lio.yaml"
-    yml.write_text("common:\n  time_sync_en: true\n")
+    # also switch on extrinsic estimation: the 24-dim path must stream
+    # end-to-end through --bag and report the refined extrinsic
+    yml.write_text("common:\n  time_sync_en: true\n"
+                   "mapping:\n  extrinsic_est_en: true\n")
     rc = main(["--bag", path, "--preset", "sim", "--lio-config", str(yml),
                "--out", str(tmp_path / "a")])
     assert rc == 0
@@ -424,6 +427,9 @@ def test_bag_time_sync_en_detects_clock_offset(tmp_path, capsys):
     # first IMU stamp 105.0 vs first scan stamp 100.1
     assert abs(rep["time_sync_offset"] - 4.9) < 1e-6
     assert rep["keyframes"] >= 1
+    ext = np.asarray(rep["extrinsic_estimate"]["R"])
+    assert ext.shape == (3, 3) and np.isfinite(ext).all()
+    assert len(rep["extrinsic_estimate"]["t"]) == 3
     # flag off: no remap attempted, no offset key in the report
     rc = main(["--bag", path, "--preset", "sim",
                "--out", str(tmp_path / "b")])
