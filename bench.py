@@ -230,7 +230,6 @@ def pipeline_per_scan(null_ms, n_prefill=N_PREFILL_KF, n_live=N_LIVE,
     Returns a dict of JSON keys (pipeline_ms_per_scan etc.)."""
     import dataclasses
 
-    import jax
     import jax.numpy as jnp
 
     from fast_lio_sam_qn_tpu.configs.presets import LIO_PRESETS
@@ -263,8 +262,6 @@ def pipeline_per_scan(null_ms, n_prefill=N_PREFILL_KF, n_live=N_LIVE,
     pipe = FastLioSamQnPipeline(cfg, profiler=Profiler())
 
     # --- prefill: 256 keyframes of history along earlier laps ---
-    import jax.numpy as _j
-
     step_t = 1.6 / speed  # 1.6 m spacing > the 1.5 m keyframe gate
     t_pre = -(n_prefill + 1) * step_t - 31.0  # clear the 30 s timediff
     for k in range(n_prefill):
@@ -273,8 +270,8 @@ def pipeline_per_scan(null_ms, n_prefill=N_PREFILL_KF, n_live=N_LIVE,
         scan, _ = sim.simulate_scan(world, Tk, n_points=8192, noise=0.01,
                                     seed=500 + k)
         cloud, mask = sim.pad_cloud(scan, 8192)
-        pipe.feed(_j.asarray(T0_inv @ Tk, _j.float32), _j.asarray(cloud),
-                  _j.asarray(mask), float(t))
+        pipe.feed(jnp.asarray(T0_inv @ Tk, jnp.float32), jnp.asarray(cloud),
+                  jnp.asarray(mask), float(t))
     assert pipe.current_kf_idx >= n_prefill, pipe.current_kf_idx
 
     # --- pre-generate the live 10 Hz window (device-resident) ---
@@ -282,7 +279,7 @@ def pipeline_per_scan(null_ms, n_prefill=N_PREFILL_KF, n_live=N_LIVE,
     state = lio.init_state()
     v0, _, _ = traj.derivatives(0.0)
     state = state._replace(nav=state.nav._replace(
-        v=_j.asarray(T0[:3, :3].T @ v0, _j.float32)))
+        v=jnp.asarray(T0[:3, :3].T @ v0, jnp.float32)))
     cap = cfg.lio.max_points_per_scan
     raw_n = 4 * cap
     period = 0.1
@@ -302,7 +299,7 @@ def pipeline_per_scan(null_ms, n_prefill=N_PREFILL_KF, n_live=N_LIVE,
         im = np.zeros(64, bool)
         kk = min(len(ts), 64)
         it[:kk], ig[:kk], ia[:kk], im[:kk] = ts[:kk], gyro[:kk], acc[:kk], 1
-        feeds.append(tuple(map(_j.asarray, (
+        feeds.append(tuple(map(jnp.asarray, (
             cloud, rel_t, mask, it, ig, ia, im))) + (t0g, t1g))
 
     def one_scan(state, f):

@@ -112,8 +112,7 @@ def replay(cfg, feed, prof=None):
     gtn = np.stack(gt)
     gt_kf = np.stack([gtn[min(int(round(t / period)) - 1, len(gtn) - 1)]
                       for t in pipe.kf_timestamps])
-    _, corrected = pipe.get_trajectories()
-    raw, _ = pipe.get_trajectories()
+    raw, corrected = pipe.get_trajectories()
     ate = float(evaluation.ate_rmse(corrected, gt_kf))
     ate_odom = float(evaluation.ate_rmse(raw, gt_kf))
 

@@ -76,11 +76,20 @@ def save_checkpoint(pipeline, path: str, lio_state=None, extra=None):
         odom_delta=np.asarray(pipeline.odom_delta),
         last_corrected_pose=np.asarray(pipeline.last_corrected_pose),
         last_kf_corrected=np.asarray(pipeline.last_kf_corrected),
-        realtime_poses=np.asarray(pipeline.realtime_poses)
-        if pipeline.realtime_poses else np.zeros((0, 4, 4)),
-        odom_poses=np.asarray(pipeline.odom_poses)
-        if pipeline.odom_poses else np.zeros((0, 4, 4)),
+        # the pose lists hold per-keyframe DEVICE arrays (pipeline keeps
+        # them unpulled to avoid a tunnel round trip per keyframe): stack
+        # on device and pull ONCE, not one blocking transfer per element
+        realtime_poses=_pull_pose_list(pipeline.realtime_poses),
+        odom_poses=_pull_pose_list(pipeline.odom_poses),
     )
+
+
+def _pull_pose_list(poses):
+    if not poses:
+        return np.zeros((0, 4, 4), np.float32)
+    import jax.numpy as jnp
+
+    return np.asarray(jnp.stack([jnp.asarray(p) for p in poses]))
 
 
 def load_checkpoint(pipeline, path: str, lio_template=None):
@@ -162,6 +171,17 @@ def load_checkpoint(pipeline, path: str, lio_template=None):
         # configured extrinsic — exactly what the old filter was using)
         leaves = leaves + [jnp.asarray(t) for t in tmpl_leaves[-2:]]
         n_leaves += 2
+    # shape-validate against the template so config mismatches fail HERE
+    # with a clear message, not deep inside the first jitted scan — e.g. a
+    # pre-r5 18x18 covariance resumed with extrinsic_est_en newly on
+    for i, (t, leaf) in enumerate(zip(tmpl_leaves, leaves)):
+        ts = getattr(t, "shape", None)
+        if ts is not None and tuple(ts) != tuple(leaf.shape):
+            raise ValueError(
+                f"LIO checkpoint leaf {i} has shape {tuple(leaf.shape)} "
+                f"but the config expects {tuple(ts)}: the checkpoint was "
+                "saved with a different config (e.g. extrinsic_est_en or "
+                "capacity changed) — resume with the saving config")
     if len(tmpl_leaves) != n_leaves:  # user-facing: must survive python -O
         raise ValueError(
             f"LIO checkpoint layout mismatch ({n_leaves} saved leaves vs "

@@ -258,6 +258,8 @@ def _raycast(world: World, origins: np.ndarray, dirs_w: np.ndarray,
     once (float32 matmuls (N,3)@(3,S) + elementwise (N,S) — the per-surface
     python loop was the dominant cost of feed generation at 16k rays).
     Returns best_t (N,) float64 with inf where nothing is hit."""
+    if not world.surfaces:      # empty world: every ray misses
+        return np.full(len(origins), np.inf)
     o, u, v, nrm, onrm, ou, ov, uu, vv = _packed_surfaces(world)
     org = origins.astype(np.float32)
     d = dirs_w.astype(np.float32)

@@ -93,6 +93,11 @@ def deterministic_cache(name: str, params, builder, extra_files=()):
     if os.stat(cache_dir).st_uid != os.getuid():
         cache_dir = f"/tmp/flsq_test_cache_{os.getuid()}"
         os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+        if os.stat(cache_dir).st_uid != os.getuid():
+            # both the shared name AND the uid-suffixed fallback are
+            # foreign-owned: never pickle.load from (or chmod) a foreign
+            # dir — build fresh without caching instead
+            return builder()
     os.chmod(cache_dir, 0o700)
     path = os.path.join(
         cache_dir, f"{name}-{_source_hash()}-{h.hexdigest()[:12]}.pkl")
