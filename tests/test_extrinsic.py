@@ -209,3 +209,63 @@ def test_extrinsic_estimation_converges_on_sim():
     # and the filter tracks the truth trajectory despite starting 4.4 deg /
     # 9.9 cm miscalibrated
     assert np.mean(pose_errs[-10:]) < 0.05, pose_errs[-10:]
+
+
+def test_update_ext_point_backend_reduces_extrinsic_error():
+    """The point-map backend's est path (ieskf.update_ext): against an
+    exact map of three orthogonal planes, iterated updates from a wrong
+    extrinsic must cut the point-to-plane residuals and move the
+    (pose ∘ extrinsic) composition toward the truth."""
+    from fast_lio_sam_qn_tpu.ops import hashgrid
+
+    rng = np.random.default_rng(7)
+    # three orthogonal planes: floor z=0, walls x=8 and y=8
+    n_side = 800
+    floor = np.stack([rng.uniform(0, 8, n_side), rng.uniform(0, 8, n_side),
+                      np.zeros(n_side)], -1)
+    wx = np.stack([np.full(n_side, 8.0), rng.uniform(0, 8, n_side),
+                   rng.uniform(0, 4, n_side)], -1)
+    wy = np.stack([rng.uniform(0, 8, n_side), np.full(n_side, 8.0),
+                   rng.uniform(0, 4, n_side)], -1)
+    p_w = np.concatenate([floor, wx, wy]).astype(np.float32)
+
+    grid = hashgrid.empty(res=0.3, table_size=1 << 15)
+    grid = hashgrid.insert(grid, jnp.asarray(p_w),
+                           jnp.ones(len(p_w), bool))
+
+    # true mounting 2.5/1.5/2 deg + (6, -4, 2) cm; sensor at the room
+    # center, nav state exactly true (identity at origin offset)
+    wvec = np.deg2rad(np.array([2.5, 1.5, 2.0], np.float32))
+    R_true = np.asarray(se3.so3_exp(jnp.asarray(wvec)))
+    t_true = np.array([0.06, -0.04, 0.02], np.float32)
+    origin = np.array([3.0, 3.0, 1.5], np.float32)
+    # LiDAR-frame points of an exact scan: p_w = R_b (R_e p_l + t_e) + p_b
+    # with R_b = I, p_b = origin
+    p_l = ((p_w - origin - t_true) @ R_true).astype(np.float32)
+
+    nav = ieskf.identity_state()._replace(p=jnp.asarray(origin))
+    ext = ieskf.Extrinsic(R=jnp.eye(3), t=jnp.zeros(3))  # wrong
+    P = ieskf.init_covariance(est_extrinsic=True)
+    mask = jnp.ones(len(p_l), bool)
+
+    def comp_err(nav_, ext_):
+        """residual rms of predicted world points vs truth"""
+        pb = ieskf._ptransform(jnp.asarray(p_l), ext_.R, ext_.t)
+        pw = ieskf._ptransform(pb, nav_.R, nav_.p)
+        return float(jnp.sqrt(jnp.mean(jnp.sum(
+            (pw - jnp.asarray(p_w)) ** 2, -1))))
+
+    err0 = comp_err(nav, ext)
+    for _ in range(5):
+        nav, ext, P, matches = ieskf.update_ext(
+            nav, ext, P, grid, jnp.asarray(p_l), mask,
+            meas_var=jnp.float32(0.0025),
+            plane_threshold=jnp.float32(0.1), max_iter=3)
+    err1 = comp_err(nav, ext)
+    assert int(matches) > 1000, int(matches)
+    assert err1 < 0.25 * err0, (err0, err1)
+    # the extrinsic itself moved toward truth (not just the pose absorbing)
+    rot_err0 = float(np.linalg.norm(wvec))
+    rot_err1 = float(np.linalg.norm(np.asarray(
+        se3.so3_log(jnp.asarray(R_true.T) @ ext.R))))
+    assert rot_err1 < 0.7 * rot_err0, (rot_err0, rot_err1)
