@@ -150,7 +150,7 @@ class LIO:
         return _process_scan(
             state, pts_l, rel_t, mask, imu_t, gyro, acc, imu_mask,
             jnp.float32(t_start), jnp.float32(t_end),
-            self._R_li, self._t_li, self._noise, inten,
+            self._noise, inten,
             est_extrinsic=self.cfg.extrinsic_est_en,
             blind=self.cfg.blind,
             filter_num=self.cfg.point_filter_num,
@@ -194,7 +194,11 @@ def _first_per_voxel(pts, scalars, mask, res, out_cap):
     coords = voxel.voxel_coords(pts, res)
     h = voxel.spatial_hash(coords)
     key = jnp.where(mask, h, jnp.iinfo(jnp.int32).max)
-    order = jnp.argsort(key, stable=True)
+    # lexicographic (hash, coords), stable — a hash-only sort can leave two
+    # 31-bit-colliding voxels interleaved and emit duplicate heads for one
+    # voxel (see voxel.voxel_downsample); stability keeps first-in-index
+    # representatives so the kept timestamp stays meaningful
+    order = jnp.lexsort((coords[:, 2], coords[:, 1], coords[:, 0], key))
     pts_s, sc_s, coords_s, key_s, mask_s = (
         pts[order], scalars[order], coords[order], key[order], mask[order])
     prev_key = jnp.concatenate([key_s[:1] - 1, key_s[:-1]])
@@ -221,7 +225,7 @@ def _first_per_voxel(pts, scalars, mask, res, out_cap):
     "surfel_hood_cap", "surfel_hood_window", "surfel_halo_cap"))
 def _process_scan(
     state: LioState, pts_l, rel_t, mask, imu_t, gyro, acc, imu_mask,
-    t_start, t_end, R_li, t_li, noise, inten=None, *, est_extrinsic=False,
+    t_start, t_end, noise, inten=None, *, est_extrinsic=False,
     blind, filter_num, surf_res, out_cap, max_iter, plane_k,
     plane_threshold, det_range, map_backend="surfel", surfel_window=1,
     surfel_hood_cap=None, surfel_hood_window=27, surfel_halo_cap=None,

@@ -367,6 +367,11 @@ class LoopClosure:
         else:
             fn = self._perform_batch_jit
         fn.lower(store, qidx, cidx).compile()
+        # ... and the fused single-candidate tick: the batched scheduler's
+        # steady state is ONE pending keyframe per tick (pipeline fast
+        # path), which dispatches _tick_jit, not the batch program — left
+        # cold it would pay the same mid-run compile stall being avoided
+        self._tick_jit.lower(store, jnp.int32(0)).compile()
 
     def _perform_impl(self, store: KeyframeStore, query_idx,
                       closest_idx, batched=False) -> RegistrationOutput:

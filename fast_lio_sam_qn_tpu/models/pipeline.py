@@ -54,6 +54,12 @@ def _feed_step(odom_delta, last_odom_pose, last_corrected, last_kf_corrected,
     + keyframe-gate distance (fast_lio_sam_qn.cpp:95-102,498-501)."""
     delta = se3.compose(odom_delta,
                         se3.compose(se3.pose_inverse(last_odom_pose), pose))
+    # odom_delta composes a rotation per scan and only resets at keyframes
+    # (which are distance-gated: a stationary platform never resets it) —
+    # re-project onto SO(3) once per step like the LIO chain, else
+    # pose_inverse downstream turns the f32 manifold drift into phantom
+    # rotation (CLAUDE.md geometry rule; se3.orthonormalize3 docstring)
+    delta = delta.at[:3, :3].set(se3.orthonormalize3(delta[:3, :3]))
     corrected = se3.compose(last_corrected, delta)
     dist = se3.pose_distance(corrected, last_kf_corrected)
     return delta, corrected, dist
@@ -414,8 +420,11 @@ class FastLioSamQnPipeline:
         reg = self.loop_closure.perform_loop_closure_batch(
             self.store, jnp.asarray(qidx), jnp.asarray(closest_np),
             mesh=self.mesh)
-        valid = np.asarray(reg.is_valid)
-        scores = np.asarray(reg.score)
+        # ONE blocking transfer for every per-lane result (CLAUDE.md
+        # one-dispatch rule: each separate np.asarray pull costs a full
+        # tunnel round trip; the commits below then run pull-free)
+        valid, scores, poses_np = jax.device_get(
+            (reg.is_valid, reg.score, reg.pose_between))
         for b in range(len(pending)):
             ci = int(closest_np[b])
             if ci < 0:
@@ -425,7 +434,7 @@ class FastLioSamQnPipeline:
                 tick_time, int(qidx[b]), ci, float(scores[b]), accepted))
             if accepted:
                 self._consensus_commit(int(qidx[b]), ci,
-                                       reg.pose_between[b], reg.score[b])
+                                       poses_np[b], float(scores[b]))
 
     # ------------------------------------------------------------------
     # vis-timer equivalents (pull-style)

@@ -237,6 +237,36 @@ def _hx(idx_i, idx_j, Ji, Jj, w6, valid, x, n_cap):
     return out
 
 
+def huber_loop_weights(r, w6, n_cap, l_cap, robust_delta):
+    """Huber reweighting of LOOP-factor rows (factor layout: odom n_cap,
+    loops l_cap, prior 1 — see _factor_data). Shared by the single-device
+    and factor-sharded solvers so the robustification cannot diverge
+    (tests/test_parallel.py asserts solver equality)."""
+    f_tot = r.shape[0]
+    is_loop = (jnp.arange(f_tot) >= n_cap) & (jnp.arange(f_tot) < n_cap + l_cap)
+    m = jnp.sqrt(jnp.maximum(jnp.sum(r * r * w6, axis=-1), 1e-20))
+    hub = jnp.minimum(1.0, robust_delta / m)
+    return jnp.where(is_loop[:, None], w6 * hub[:, None], w6)
+
+
+def gn_retract(g: GraphState, x: jax.Array, active: jax.Array) -> GraphState:
+    """Right-perturbation retraction of the GN/PCG step onto active nodes,
+    with the rotation blocks re-projected onto SO(3).
+
+    The re-projection is load-bearing (CLAUDE.md geometry rule): optimize()
+    composes se3_exp(x) onto every active pose 2-5x per keyframe forever,
+    the same compose-chain class whose f32 manifold drift produced the
+    0.42 m realtime-pose bias in the LIO (se3.orthonormalize3 docstring);
+    pose_between(last_kf_corrected, ...) downstream transpose-inverses
+    these rotations into the next odometry factor. Shared by ops.pgo and
+    parallel.spmd so both solvers stay numerically identical."""
+    dT = se3.se3_exp(x)
+    new_poses = jnp.where(active[..., None], se3.compose(g.poses, dT),
+                          g.poses)
+    R = se3.orthonormalize3(new_poses[..., :3, :3])
+    return g._replace(poses=new_poses.at[..., :3, :3].set(R))
+
+
 @functools.partial(
     jax.jit, static_argnames=("gn_iters", "pcg_iters", "robust_delta"))
 def optimize(
@@ -267,14 +297,7 @@ def optimize(
     def gn_step(_, g: GraphState) -> GraphState:
         idx_i, idx_j, r, Ji, Jj, w6, valid = _factor_data(g, prior_var, odom_var)
         if robust_delta > 0:
-            # Huber weights on loop-factor rows (layout: odom n_cap,
-            # loops l_cap, prior 1 — see _factor_data)
-            f_tot = r.shape[0]
-            is_loop = (jnp.arange(f_tot) >= n_cap) & (
-                jnp.arange(f_tot) < n_cap + l_cap)
-            m = jnp.sqrt(jnp.maximum(jnp.sum(r * r * w6, axis=-1), 1e-20))
-            hub = jnp.minimum(1.0, robust_delta / m)
-            w6 = jnp.where(is_loop[:, None], w6 * hub[:, None], w6)
+            w6 = huber_loop_weights(r, w6, n_cap, l_cap, robust_delta)
         # gradient b = sum J^T W r ; solve H dx = -b
         wr = r * w6 * valid[:, None]
         b = jnp.zeros((n_cap, 6), r.dtype)
@@ -327,9 +350,6 @@ def optimize(
         x, *_ = jax.lax.while_loop(
             pcg_cond, pcg_body, (x0, r0, z0, p0, rz0, jnp.int32(0))
         )
-        # apply right-perturbation update to active nodes
-        dT = se3.se3_exp(x)
-        new_poses = jnp.where(active[..., None], se3.compose(g.poses, dT), g.poses)
-        return g._replace(poses=new_poses)
+        return gn_retract(g, x, active)
 
     return jax.lax.fori_loop(0, gn_iters, gn_step, graph)

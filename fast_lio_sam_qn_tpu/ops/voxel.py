@@ -82,11 +82,15 @@ def voxel_downsample(
     h = spatial_hash(coords)
     # push invalid points to the end of the sort with a sentinel key
     key = jnp.where(mask, h, jnp.iinfo(jnp.int32).max)
-    # stable: equal-key order (hash collisions between distinct voxels, and
-    # padding rows) must not depend on the platform's sort tie-breaking —
-    # an unstable sort can interleave two colliding voxels' points and split
-    # them into multiple segment heads (duplicate centroids)
-    order = jnp.argsort(key, stable=True)
+    # lexicographic (hash, coords) sort, stable: hash alone is 31-bit, so
+    # two DISTINCT voxels can collide (~n^2/2^31 pairs per cloud) and a
+    # hash-only sort preserves their interleaved input order — the
+    # coords-change head detection below then splits one voxel into
+    # multiple segments (duplicate centroids). Sorting on coords within
+    # equal hashes groups colliding voxels contiguously; stability keeps
+    # within-voxel input order (deterministic representatives).
+    order = jnp.lexsort(
+        (coords[:, 2], coords[:, 1], coords[:, 0], key))
     data_s = data[order]
     coords_s = coords[order]
     key_s = key[order]

@@ -289,18 +289,13 @@ def _pgo_full_jit(mesh, axis, gn_iters, pcg_iters, robust_delta,
             idx_i, idx_j, r, Ji, Jj, w6, valid = pgo._factor_data(
                 g, prior_var, odom_var)
             if robust_delta > 0:
-                is_loop = (jnp.arange(f_tot) >= n_cap) & (
-                    jnp.arange(f_tot) < n_cap + l_cap)
-                m = jnp.sqrt(jnp.maximum(
-                    jnp.sum(r * r * w6, axis=-1), 1e-20))
-                hub = jnp.minimum(1.0, robust_delta / m)
-                w6 = jnp.where(is_loop[:, None], w6 * hub[:, None], w6)
+                # shared with the single-device solver (pgo.huber_loop_
+                # weights / pgo.gn_retract) so the two paths cannot diverge
+                w6 = pgo.huber_loop_weights(r, w6, n_cap, l_cap,
+                                            robust_delta)
             x = solve(padz(idx_i), padz(idx_j), padz(r), padz(Ji),
                       padz(Jj), padz(w6), padz(valid), act_f)
-            dT = se3.se3_exp(x)
-            new_poses = jnp.where(active[..., None],
-                                  se3.compose(g.poses, dT), g.poses)
-            return g._replace(poses=new_poses)
+            return pgo.gn_retract(g, x, active)
 
         return jax.lax.fori_loop(0, gn_iters, gn_step, graph)
 

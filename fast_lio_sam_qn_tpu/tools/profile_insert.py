@@ -268,8 +268,7 @@ def main():
             st, jnp.asarray(cl) + 1e-6 * i, jnp.asarray(rt),
             jnp.asarray(mk), jnp.asarray(it), jnp.asarray(ig),
             jnp.asarray(ia), jnp.asarray(im),
-            st.t, st.t + jnp.float32(0.1),
-            lio._R_li, lio._t_li, lio._noise,
+            st.t, st.t + jnp.float32(0.1), lio._noise,
             blind=cfg.blind, filter_num=cfg.point_filter_num,
             surf_res=cfg.filter_size_surf, out_cap=cfg.max_points_per_scan,
             max_iter=cfg.max_iteration, plane_k=cfg.plane_k,

@@ -56,23 +56,28 @@ def test_longrun_capacity_doublings(summary):
 @pytest.mark.slow
 def test_longrun_golden_regression(summary):
     """Golden numbers recorded 2026-08-20 (round 5, 8-device CPU mesh,
-    post SO(3)-reprojection fix): 400 keyframes, ate_corrected 0.0872 m
-    over 640 m (0.014% of distance; odometry 0.0066 m), 39 loops
-    committed / 44 accepted of 64 attempts. ATE band +-30% like
-    test_pipeline's regression band; counts exact or narrow — a numerical
-    regression in LIO, registration, or the PGO solver at scale cannot
-    hide behind loose sanity bounds.
+    re-pinned after the PGO-solve SO(3) re-projection landed — see
+    PARITY.md): 400 keyframes, ate_corrected 0.1274 m over 640 m (0.02%
+    of distance; odometry 0.0066 m), 49 loops committed / 51 accepted of
+    64 attempts. (The pre-re-projection pin was 0.0872 m / 39 / 44: the
+    manifold projection perturbs 2,753 chained solves by ~f32 epsilon,
+    which flips near-threshold acceptances in this symmetric synthetic
+    world — the platform spread on identical code was already 20%,
+    CPU 0.0872 vs v5e 0.1044.) ATE band +-30% like test_pipeline's
+    regression band; counts exact or narrow — a numerical regression in
+    LIO, registration, or the PGO solver at scale cannot hide behind
+    loose sanity bounds.
 
     Note the corrected ATE is (correctly) above the odometry ATE here:
     the synthetic LIO is near-perfect on this course (6.6 mm over 640 m),
     so committed loop factors contribute registration noise rather than
-    drift correction — what this golden pins is that 39 noisy-but-true
+    drift correction — what this golden pins is that ~50 noisy-but-true
     loops across three capacity doublings and ~400 rewrites perturb the
-    trajectory by no more than centimeters (the pre-fix state was tens of
-    METERS)."""
+    trajectory by no more than centimeters (the pre-SO(3)-fix state was
+    tens of METERS)."""
     assert summary["n_keyframes"] == 400, summary
-    assert abs(summary["ate_corrected_m"] - 0.0872) < 0.3 * 0.0872, summary
+    assert abs(summary["ate_corrected_m"] - 0.1274) < 0.3 * 0.1274, summary
     assert summary["ate_odom_m"] < 0.05, summary
     assert summary["loop_attempts"] == 64, summary
-    assert 30 <= summary["loops_committed"] <= 50, summary
+    assert 39 <= summary["loops_committed"] <= 59, summary
     assert summary["loops_accepted"] >= summary["loops_committed"], summary
