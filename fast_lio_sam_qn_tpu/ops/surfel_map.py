@@ -542,10 +542,12 @@ def insert(m: SurfelMap, points: jax.Array, mask: jax.Array,
     """Accumulate points into voxel moments and refresh the touched voxels'
     cached planes. One scatter-heavy program per scan. hood_cap bounds the
     expensive neighborhood-refit list and halo_cap the halo-propagation
-    source list (see _refit_planes / step 4); hood_window = 27 (full 3^3)
-    or 7 (face hood, ~4x cheaper refit gathers and sharper at creases).
-    halo=False skips the halo-plane propagation (step 4) —
-    ablation/profiling only."""
+    source list (see _refit_planes / step 4); for BOTH caps, 0 and None
+    mean UNCAPPED (matching LioConfig's "0/None = unbounded" convention —
+    to disable halo propagation entirely pass halo=False, not halo_cap=0);
+    hood_window = 27 (full 3^3) or 7 (face hood, ~4x cheaper refit gathers
+    and sharper at creases). halo=False skips the halo-plane propagation
+    (step 4) — ablation/profiling only."""
     t = m.table_size
     coords = voxel_coords(points, m.res)
 

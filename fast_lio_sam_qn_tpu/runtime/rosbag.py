@@ -87,18 +87,24 @@ class BagReader:
         self.connections: dict[int, Connection] = {}
 
     # -- record-level iteration ------------------------------------------
+    @staticmethod
+    def _read_record(f):
+        """Frame ONE record off a file object; None at end of stream.
+        The single point of truth for on-disk record framing (the in-memory
+        variant over chunk payloads is _records above)."""
+        head = f.read(4)
+        if len(head) < 4:
+            return None
+        (hlen,) = struct.unpack("<I", head)
+        hdr = _parse_header(f.read(hlen))
+        (dlen,) = struct.unpack("<I", f.read(4))
+        return hdr, f.read(dlen)
+
     def _raw_records(self) -> Iterator[tuple[dict, bytes]]:
         with open(self.path, "rb") as f:
             f.seek(self._start)
-            while True:
-                head = f.read(4)
-                if len(head) < 4:
-                    return
-                (hlen,) = struct.unpack("<I", head)
-                hdr = _parse_header(f.read(hlen))
-                (dlen,) = struct.unpack("<I", f.read(4))
-                data = f.read(dlen)
-                yield hdr, data
+            while (rec := self._read_record(f)) is not None:
+                yield rec
 
     def _register_connection(self, hdr: dict, data: bytes):
         cid = struct.unpack("<I", hdr["conn"])[0]
@@ -160,23 +166,16 @@ class BagReader:
         index_pos = 0
         with open(self.path, "rb") as f:
             f.seek(self._start)
-            head = f.read(4)
-            if len(head) == 4:
-                (hlen,) = struct.unpack("<I", head)
-                hdr = _parse_header(f.read(hlen))
+            first = self._read_record(f)
+            if first is not None:
+                hdr, _ = first
                 if hdr.get("op", b"\x00")[0] == _OP_BAGHDR and \
                         "index_pos" in hdr:
                     (index_pos,) = struct.unpack("<Q", hdr["index_pos"])
             if index_pos > 0:
                 f.seek(index_pos)
-                while True:
-                    head = f.read(4)
-                    if len(head) < 4:
-                        break
-                    (hlen,) = struct.unpack("<I", head)
-                    hdr = _parse_header(f.read(hlen))
-                    (dlen,) = struct.unpack("<I", f.read(4))
-                    data = f.read(dlen)
+                while (rec := self._read_record(f)) is not None:
+                    hdr, data = rec
                     if hdr.get("op", b"\x00")[0] == _OP_CONNECTION:
                         self._register_connection(hdr, data)
                 if self.connections:

@@ -48,8 +48,9 @@ def save_pcd(path: str, points: np.ndarray, intensity: Optional[np.ndarray] = No
         f.write("VIEWPOINT 0 0 0 1 0 0 0\n")
         f.write(f"POINTS {n}\n")
         f.write("DATA ascii\n")
-        for p, i in zip(points, inten):
-            f.write(f"{p[0]:.9g} {p[1]:.9g} {p[2]:.9g} {i:.9g}\n")
+        # vectorized: a per-point python loop is minutes-slow for the
+        # multi-million-point global-map export on the 1-vCPU box
+        np.savetxt(f, np.column_stack([points, inten]), fmt="%.9g")
 
 
 def load_pcd(path: str, with_intensity: bool = False) -> np.ndarray:
@@ -104,7 +105,18 @@ def load_pcd(path: str, with_intensity: bool = False) -> np.ndarray:
         for t, s, c in zip(types, sizes, counts):
             fmt = f"{t.lower()}{s}"
             formats.append(fmt if c == 1 else (fmt, (c,)))
-        dtype = np.dtype({"names": fields, "formats": formats})
+        # PCL writes every pad region as a field named '_': uniquify
+        # duplicates (np.dtype rejects repeated names); x/y/z/intensity
+        # keep their first-occurrence names so the lookups below hold
+        names, seen = [], set()
+        for fld in fields:
+            nm, k = fld, 0
+            while nm in seen:
+                k += 1
+                nm = f"{fld}__pad{k}"
+            seen.add(nm)
+            names.append(nm)
+        dtype = np.dtype({"names": names, "formats": formats})
         raw = np.frombuffer(f.read(n * dtype.itemsize), dtype=dtype, count=n)
         cols = []
         for name in out_names:
@@ -196,6 +208,14 @@ def save_results(pipeline, save_dir: str, raw_scans=None):
     n = pipeline.current_kf_idx
     poses = pipeline.get_corrected_keyframe_poses()
     stamps = pipeline.kf_timestamps
+    # ONE device->host pull of the keyframe store, shared by the kitti and
+    # bag branches (the cloud store is the biggest transfer of the save;
+    # pulling it per branch doubled it on the tunneled TPU)
+    cl = ms = ii = None
+    if cfg.save_in_kitti_format or cfg.save_map_bag:
+        cl = np.asarray(pipeline.store.clouds[:n])
+        ms = np.asarray(pipeline.store.cloud_masks[:n])
+        ii = np.asarray(pipeline.store.intensities[:n])
 
     if cfg.save_in_kitti_format:
         scans_dir = os.path.join(seq_dir, "scans")
@@ -204,9 +224,6 @@ def save_results(pipeline, save_dir: str, raw_scans=None):
         os.makedirs(scans_dir)
         clouds = raw_scans
         if clouds is None:
-            cl = np.asarray(pipeline.store.clouds[:n])
-            ms = np.asarray(pipeline.store.cloud_masks[:n])
-            ii = np.asarray(pipeline.store.intensities[:n])
             clouds = [c[m] for c, m in zip(cl, ms)]
             intens = [iv[m] for iv, m in zip(ii, ms)]
         else:
@@ -221,9 +238,6 @@ def save_results(pipeline, save_dir: str, raw_scans=None):
 
     if cfg.save_map_bag:
         os.makedirs(seq_dir, exist_ok=True)
-        cl = np.asarray(pipeline.store.clouds[:n])
-        ms = np.asarray(pipeline.store.cloud_masks[:n])
-        ii = np.asarray(pipeline.store.intensities[:n])
         np.savez_compressed(
             os.path.join(seq_dir, "result_keyframes.npz"),
             clouds=cl, masks=ms, poses=poses, intensities=ii,

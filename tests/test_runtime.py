@@ -169,3 +169,36 @@ def test_load_pcd_python_fallback_parity(tmp_path):
         f.write(content)
     with pytest.raises(ValueError):
         io.load_pcd(pc)
+
+
+def test_load_pcd_binary_multiple_pad_fields(tmp_path):
+    """PCL writes every pad region as a field named '_' — a PointNormal-
+    style layout has TWO of them, which np.dtype rejects unless the
+    loader uniquifies the names (review finding, round 5)."""
+    import struct
+
+    import numpy as np
+
+    from fast_lio_sam_qn_tpu.utils import io
+
+    pts = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]], np.float32)
+    nrm = np.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]], np.float32)
+    curv = np.array([0.5, 0.25], np.float32)
+    p = str(tmp_path / "pn.pcd")
+    with open(p, "wb") as f:
+        f.write(b"VERSION 0.7\n")
+        f.write(b"FIELDS x y z _ normal_x normal_y normal_z _ curvature\n")
+        f.write(b"SIZE 4 4 4 1 4 4 4 1 4\n")
+        f.write(b"TYPE F F F U F F F U F\n")
+        f.write(b"COUNT 1 1 1 4 1 1 1 8 1\n")
+        f.write(b"WIDTH 2\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n")
+        f.write(b"POINTS 2\nDATA binary\n")
+        for i in range(2):
+            f.write(struct.pack("<3f", *pts[i]) + b"\x00" * 4)
+            f.write(struct.pack("<3f", *nrm[i]) + b"\x00" * 8)
+            f.write(struct.pack("<f", curv[i]))
+    out = io.load_pcd(p)
+    np.testing.assert_allclose(out, pts, rtol=1e-6)
+    # no intensity field -> zero-filled fourth column
+    out4 = io.load_pcd(p, with_intensity=True)
+    np.testing.assert_allclose(out4[:, 3], 0.0)
